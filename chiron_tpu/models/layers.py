@@ -1,0 +1,220 @@
+"""Convolutional layer library (pure init/apply functions).
+
+TPU-first re-design of the reference CNN zoo building blocks
+(reference: chiron/cnn.py:15-331). All ops are expressed on [B, T, C]
+(NWC) 1-D convolutions, which XLA lowers onto the MXU; the reference's
+[B, 1, T, C] NHWC 2-D conv framing is dropped.
+
+Parameters are plain nested dicts (pytrees); every block is a pair
+``init_*(key, ...) -> params`` / ``apply fn(params, x) -> y``. There is no
+mutable state: the reference's "global batch norm" (chiron/cnn.py:166-188)
+uses current-batch statistics even at inference, so it is a pure function
+of the batch here too (this is load-bearing for output parity — outputs
+depend on batch composition, see SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from chiron_tpu.models.initializers import variance_scaling, xavier_normal
+
+Params = Dict[str, Any]
+
+_BN_EPS = 1e-5
+
+
+# --------------------------------------------------------------------------
+# conv1d + global batch norm (reference: chiron/cnn.py:15-83,166-188)
+# --------------------------------------------------------------------------
+
+def init_conv(
+    key,
+    ksize: int,
+    c_in: int,
+    c_out: int,
+    bias: bool = False,
+    bn: bool = True,
+) -> Params:
+    keys = jax.random.split(key, 4)
+    p: Params = {"w": xavier_normal(keys[0], (ksize, c_in, c_out))}
+    if bias:
+        p["b"] = jnp.zeros((c_out,))
+    if bn:
+        p["bn_scale"] = variance_scaling(keys[1], (c_out,))
+        p["bn_offset"] = variance_scaling(keys[2], (c_out,))
+    return p
+
+
+def global_bn(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Normalize by current-batch moments over (batch, time).
+
+    Parity with ``simple_global_bn`` (chiron/cnn.py:166-188): moments are
+    always from the live batch — there are no population statistics.
+    """
+    mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+    var = jnp.var(x, axis=(0, 1), keepdims=True)
+    inv = lax.rsqrt(var + _BN_EPS)
+    return (x - mean) * inv * scale + offset
+
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "elu": jax.nn.elu,
+}
+
+
+def conv(
+    params: Params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: str = "SAME",
+    active: Optional[str] = "relu",
+) -> jnp.ndarray:
+    """1-D convolution [B, T, C_in] -> [B, T', C_out] (+BN, +activation).
+
+    Reference behaviour: chiron/cnn.py:15-83 (conv -> optional bias ->
+    optional global BN -> optional activation).
+    """
+    y = lax.conv_general_dilated(
+        x,
+        params["w"],
+        window_strides=(stride,),
+        padding=padding,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if "b" in params:
+        y = y + params["b"]
+    if "bn_scale" in params:
+        y = global_bn(y, params["bn_scale"], params["bn_offset"])
+    if active is not None:
+        y = _ACTIVATIONS[active](y)
+    return y
+
+
+# --------------------------------------------------------------------------
+# residual block (reference: chiron/cnn.py:234-262)
+# --------------------------------------------------------------------------
+
+def init_residual(
+    key, c_in: int, c_out: int, k: int = 3, i_bn: bool = False
+) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        # identity branch: 1x1 conv, BN only when i_bn, no activation
+        "branch1": init_conv(k1, 1, c_in, c_out, bn=i_bn),
+        # bottleneck branch: 1x1 -> 1xk -> 1x1, all BN'd, last inactive
+        "conv2a": init_conv(k2, 1, c_in, c_out),
+        "conv2b": init_conv(k3, k, c_out, c_out),
+        "conv2c": init_conv(k4, 1, c_out, c_out),
+    }
+
+
+def residual(params: Params, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+    identity = conv(params["branch1"], x, stride=stride, active=None)
+    y = conv(params["conv2a"], x)
+    y = conv(params["conv2b"], y, stride=stride)
+    y = conv(params["conv2c"], y, active=None)
+    return jax.nn.relu(identity + y)
+
+
+# --------------------------------------------------------------------------
+# inception block (reference: chiron/cnn.py:191-231)
+# --------------------------------------------------------------------------
+
+def init_inception(key, c_in: int, times: int = 16) -> Params:
+    ks = jax.random.split(key, 10)
+    return {
+        "conv1a": init_conv(ks[0], 1, c_in, times * 3),
+        "conv0b": init_conv(ks[1], 1, c_in, times * 3),
+        "conv0c": init_conv(ks[2], 1, c_in, times * 2),
+        "conv1c": init_conv(ks[3], 3, times * 2, times * 3),
+        "conv0d": init_conv(ks[4], 1, c_in, times * 2),
+        "conv1d": init_conv(ks[5], 5, times * 2, times * 3),
+        "conv0e": init_conv(ks[6], 1, c_in, times * 2),
+        "conv1e": init_conv(ks[7], 3, times * 2, times * 3),
+        "conv0f": init_conv(ks[8], 1, c_in, times * 2),
+        "conv1f": init_conv(ks[9], 3, times * 2, times * 3),
+    }
+
+
+def inception(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    avg = avg_pool(x, ksize=3, stride=1)
+    b1 = conv(params["conv1a"], avg)
+    b2 = conv(params["conv0b"], x)
+    b3 = conv(params["conv1c"], conv(params["conv0c"], x))
+    b4 = conv(params["conv1d"], conv(params["conv0d"], x))
+    b5 = conv(params["conv1e"], conv(params["conv0e"], x), dilation=2)
+    b6 = conv(params["conv1f"], conv(params["conv0f"], x), dilation=3)
+    return jnp.concatenate([b1, b2, b3, b4, b5, b6], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# wavenet block (reference: chiron/cnn.py:299-331)
+# --------------------------------------------------------------------------
+
+def init_wavenet(key, c_in: int, c_out: int) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "identity": init_conv(k1, 1, c_in, c_out),
+        "gate": init_conv(k2, 2, c_in, c_out),
+        "filter": init_conv(k3, 2, c_in, c_out),
+        "proj": init_conv(k4, 1, c_out, c_out),
+    }
+
+
+def wavenet(params: Params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    identity = conv(params["identity"], x, active=None)
+    gate = conv(params["gate"], x, dilation=dilation, active="sigmoid")
+    filt = conv(params["filter"], x, dilation=dilation, active="tanh")
+    y = conv(params["proj"], gate * filt, active=None)
+    return jax.nn.relu(identity + y)
+
+
+# --------------------------------------------------------------------------
+# gated conv block (reference: chiron/cnn.py:85-124)
+# --------------------------------------------------------------------------
+
+def init_gated_conv(key, c_in: int, c_out: int, k: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "gate": init_conv(k1, k, c_in, c_out, bias=True),
+        "conv": init_conv(k2, k, c_in, c_out, bias=True),
+        "identity": init_conv(k3, 1, c_in, c_out),
+    }
+
+
+def gated_conv(params: Params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
+    gate = conv(params["gate"], x, dilation=dilation, active="sigmoid")
+    y = conv(params["conv"], x, dilation=dilation, active="tanh")
+    identity = conv(params["identity"], x, active=None)
+    return gate * y + identity
+
+
+# --------------------------------------------------------------------------
+# pooling
+# --------------------------------------------------------------------------
+
+def avg_pool(x: jnp.ndarray, ksize: int, stride: int, padding: str = "SAME") -> jnp.ndarray:
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, ksize, 1), (1, stride, 1), padding
+    )
+    ones = jnp.ones((1, x.shape[1], 1), x.dtype)
+    counts = lax.reduce_window(
+        ones, 0.0, lax.add, (1, ksize, 1), (1, stride, 1), padding
+    )
+    return s / counts
+
+
+def max_pool(x: jnp.ndarray, ksize: int, stride: int, padding: str = "SAME") -> jnp.ndarray:
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, ksize, 1), (1, stride, 1), padding
+    )

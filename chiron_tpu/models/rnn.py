@@ -1,0 +1,247 @@
+"""Recurrent layers: stacked bidirectional LSTM/GRU via ``lax.scan``.
+
+TPU-first re-design of the reference RNN stack (chiron/rnn.py:20-174 and
+chiron/utils/lstm.py). Key differences from a naive port:
+
+* Input projections for ALL timesteps are hoisted out of the recurrence and
+  computed as one large [T*B, C] x [C, 4H] matmul (MXU-friendly); the scan
+  body only does the small recurrent matmul + elementwise gates.
+* Sequence-length handling is mask-based (static shapes): outputs past the
+  per-example length are zeroed and the carried state frozen, matching TF's
+  ``dynamic_rnn`` semantics; the backward direction uses reverse-sequence
+  index gathers instead of dynamic slicing.
+* Two stacking orders are supported, mirroring the reference exactly:
+  - 'normal': per-layer bidirectional concat feeding the next layer
+    (stack_bidirectional_dynamic_rnn, chiron/rnn.py:63-65).
+  - 'rna': independent forward/backward deep stacks, concatenated once at
+    the top (bidirectional_dynamic_rnn over MultiRNNCell, chiron/rnn.py:140-145).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from chiron_tpu.models.initializers import truncated_normal, xavier_uniform
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# cells: parameter layout is (input kernel, recurrent kernel, bias)
+# --------------------------------------------------------------------------
+
+def init_lstm_cell(key, c_in: int, hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    # TF LSTMCell keeps one fused [c_in + hidden, 4*hidden] kernel; we split
+    # it so the input half can be applied outside the recurrence.
+    return {
+        "wx": xavier_uniform(k1, (c_in, 4 * hidden)),
+        "wh": xavier_uniform(k2, (hidden, 4 * hidden)),
+        "b": jnp.zeros((4 * hidden,)),
+    }
+
+
+def init_gru_cell(key, c_in: int, hidden: int) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "wx_g": xavier_uniform(k1, (c_in, 2 * hidden)),
+        "wh_g": xavier_uniform(k2, (hidden, 2 * hidden)),
+        "b_g": jnp.ones((2 * hidden,)),  # TF GRUCell gate bias init = 1.0
+        "wx_c": xavier_uniform(k3, (c_in, hidden)),
+        "wh_c": xavier_uniform(k4, (hidden, hidden)),
+        "b_c": jnp.zeros((hidden,)),
+    }
+
+
+_FORGET_BIAS = 1.0  # TF LSTMCell default
+
+
+def _lstm_scan(params: Params, xw: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Run an LSTM over precomputed input projections.
+
+    Args:
+      params: cell params (wh [H,4H], b broadcast into xw already NOT added).
+      xw: [T, B, 4H] precomputed ``x @ wx + b``.
+      mask: [T, B, 1] float 1.0 where t < seq_len.
+    Returns:
+      h sequence [T, B, H].
+    """
+    hidden = params["wh"].shape[0]
+    bsz = xw.shape[1]
+    h0 = jnp.zeros((bsz, hidden), xw.dtype)
+    c0 = jnp.zeros((bsz, hidden), xw.dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        gates_x, m = inp
+        gates = gates_x + h @ params["wh"]
+        i, g, f, o = jnp.split(gates, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f + _FORGET_BIAS) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        # freeze state and zero output past the sequence end (dynamic_rnn parity)
+        new_c = m * new_c + (1.0 - m) * c
+        h_keep = m * new_h + (1.0 - m) * h
+        return (h_keep, new_c), m * new_h
+
+    _, hs = lax.scan(step, (h0, c0), (xw, mask))
+    return hs
+
+
+def _gru_scan(params: Params, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """GRU over [T, B, C] input (gate input projections precomputed)."""
+    hidden = params["wh_c"].shape[0]
+    bsz = x.shape[1]
+    gx = x @ params["wx_g"] + params["b_g"]  # [T, B, 2H]
+    cx = x @ params["wx_c"] + params["b_c"]  # [T, B, H]
+    h0 = jnp.zeros((bsz, hidden), x.dtype)
+
+    def step(h, inp):
+        gxt, cxt, m = inp
+        gates = jax.nn.sigmoid(gxt + h @ params["wh_g"])
+        r, u = jnp.split(gates, 2, axis=-1)
+        cand = jnp.tanh(cxt + (r * h) @ params["wh_c"])
+        new_h = u * h + (1.0 - u) * cand
+        h_keep = m * new_h + (1.0 - m) * h
+        return h_keep, m * new_h
+
+    _, hs = lax.scan(step, h0, (gx, cx, mask))
+    return hs
+
+
+def _run_cell(cell_type: str, params: Params, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    if cell_type in ("LSTM", "BNLSTM"):
+        xw = x @ params["wx"] + params["b"]
+        return _lstm_scan(params, xw, mask)
+    elif cell_type == "GRU":
+        return _gru_scan(params, x, mask)
+    raise ValueError(f"Cell type unrecognized: {cell_type}")
+
+
+def _init_cell(cell_type: str, key, c_in: int, hidden: int) -> Params:
+    if cell_type in ("LSTM", "BNLSTM"):
+        return init_lstm_cell(key, c_in, hidden)
+    elif cell_type == "GRU":
+        return init_gru_cell(key, c_in, hidden)
+    raise ValueError(f"Cell type unrecognized: {cell_type}")
+
+
+# --------------------------------------------------------------------------
+# sequence reversal with per-example lengths (tf.reverse_sequence parity)
+# --------------------------------------------------------------------------
+
+def reverse_sequence(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse x[t] within each example's first ``lengths[b]`` steps.
+
+    x: [T, B, ...], lengths: [B].
+    """
+    t = x.shape[0]
+    tidx = jnp.arange(t)[:, None]  # [T, 1]
+    rev = lengths[None, :] - 1 - tidx  # [T, B]
+    idx = jnp.where(tidx < lengths[None, :], rev, tidx)  # identity past len
+    return jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)).astype(jnp.int32), axis=0
+    )
+
+
+# --------------------------------------------------------------------------
+# stacked bidirectional drivers
+# --------------------------------------------------------------------------
+
+def init_birnn_stack(
+    key, c_in: int, hidden: int, layer_num: int, cell_type: str, layer_type: str
+) -> Params:
+    layers = []
+    for i in range(layer_num):
+        key, kf, kb = jax.random.split(key, 3)
+        if layer_type == "rna":
+            # independent deep stacks: layer i input is H (except first)
+            layer_in = c_in if i == 0 else hidden
+        else:
+            # interleaved: layer i>0 input is the 2H bidirectional concat
+            layer_in = c_in if i == 0 else 2 * hidden
+        layers.append(
+            {
+                "fw": _init_cell(cell_type, kf, layer_in, hidden),
+                "bw": _init_cell(cell_type, kb, layer_in, hidden),
+            }
+        )
+    return {"layers": layers}
+
+
+def birnn_stack(
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cell_type: str = "LSTM",
+    layer_type: str = "normal",
+) -> jnp.ndarray:
+    """Bidirectional stack. x: [B, T, C] -> [B, T, 2H]."""
+    xt = jnp.transpose(x, (1, 0, 2))  # time-major [T, B, C]
+    t = xt.shape[0]
+    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(xt.dtype)[..., None]
+
+    if layer_type == "rna":
+        fw = xt
+        bw = reverse_sequence(xt, lengths)
+        for layer in params["layers"]:
+            fw = _run_cell(cell_type, layer["fw"], fw, mask)
+            bw = _run_cell(cell_type, layer["bw"], bw, mask)
+        out = jnp.concatenate([fw, reverse_sequence(bw, lengths)], axis=-1)
+    else:
+        out = xt
+        for layer in params["layers"]:
+            fw = _run_cell(cell_type, layer["fw"], out, mask)
+            bw_in = reverse_sequence(out, lengths)
+            bw = _run_cell(cell_type, layer["bw"], bw_in, mask)
+            out = jnp.concatenate([fw, reverse_sequence(bw, lengths)], axis=-1)
+    return jnp.transpose(out, (1, 0, 2))  # back to [B, T, 2H]
+
+
+# --------------------------------------------------------------------------
+# output head (reference: chiron/rnn.py:72-97)
+# --------------------------------------------------------------------------
+
+def init_rnn_head(key, hidden: int, class_n: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        # direction-weighted sum of fw/bw halves, then FC to classes
+        "w_dir": truncated_normal(k1, (2, hidden), np.sqrt(2.0 / (2 * hidden))),
+        "b_dir": jnp.zeros((hidden,)),
+        "w_class": truncated_normal(k2, (hidden, class_n), np.sqrt(2.0 / hidden)),
+        "b_class": jnp.zeros((class_n,)),
+    }
+
+
+def rnn_head(params: Params, lasth: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, 2H] -> [B, T, class_n] via direction-weighted sum + FC."""
+    b, t, two_h = lasth.shape
+    h = two_h // 2
+    pair = lasth.reshape(b, t, 2, h)
+    merged = jnp.einsum("btdh,dh->bth", pair, params["w_dir"]) + params["b_dir"]
+    return merged @ params["w_class"] + params["b_class"]
+
+
+def init_rnn_layers(
+    key, c_in: int, hidden: int, layer_num: int, class_n: int, cell_type: str, layer_type: str
+) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "stack": init_birnn_stack(k1, c_in, hidden, layer_num, cell_type, layer_type),
+        "head": init_rnn_head(k2, hidden, class_n),
+    }
+
+
+def rnn_layers(
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cell_type: str = "LSTM",
+    layer_type: str = "normal",
+) -> jnp.ndarray:
+    lasth = birnn_stack(params["stack"], x, lengths, cell_type, layer_type)
+    return rnn_head(params["head"], lasth)
