@@ -1,0 +1,307 @@
+"""The basecall (`chiron call`) pipeline: host IO -> TPU decode -> assembly.
+
+TPU-first redesign of chiron/chiron_eval.py:244-522. The reference runs a
+TF1 graph with FIFO queues and 6 CPU decode threads; here the ENTIRE compute
+path — CNN+BiLSTM forward, path-probability, and CTC decode (greedy or beam
+search) — is one jitted static-shape function executed on device, so the
+only host work is windowing, regrouping, overlap assembly, and writing.
+
+Pipelining comes from JAX's async dispatch: the host enqueues the next
+batch's computation before blocking on the previous results (double
+buffering), which overlaps fast5 reading/windowing with device compute the
+same way the reference's producer thread + logits queue did
+(chiron_eval.py:262-372).
+
+Batches are packed across file boundaries and regrouped per (file, window
+index) on the host — the deterministic analog of the reference's
+regroup-by-filename consumer (chiron_eval.py:403-428). The final partial
+batch is wrap-padded with index -1 sentinels (chiron_eval.py:352-367).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict, deque
+from functools import partial
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chiron_tpu import config as C
+from chiron_tpu.assembly import (
+    consensus_to_bases,
+    get_assembler_kernel,
+    qs,
+    simple_assembly,
+    simple_assembly_qs,
+)
+from chiron_tpu.io.signal import read_signal_for_eval
+from chiron_tpu.io.writers import ensure_output_dirs, write_output, write_run_meta
+from chiron_tpu.models import apply_model, init_model, model_ratio, output_len
+from chiron_tpu.ops.ctc_beam import beam_search_decode
+from chiron_tpu.ops.ctc_greedy import greedy_decode
+from chiron_tpu.train.checkpoint import restore_latest
+
+
+def path_prob(logits: jnp.ndarray) -> jnp.ndarray:
+    """Mean (top1 - top2) logit gap per window (chiron_eval.py:116-136).
+
+    NOTE: averaged over the full window length including padding frames —
+    intentional parity with the reference, which does not mask.
+    """
+    top2 = jax.lax.top_k(logits, 2)[0]
+    return jnp.mean(top2[..., 0] - top2[..., 1], axis=-1)
+
+
+def make_decode_step(config, segment_len: int, beam: int, batch_size: int):
+    """Build the jitted device step: signal windows -> decoded segments."""
+    t_out = output_len(config, segment_len)
+
+    @jax.jit
+    def step(params, x, seq_len):
+        logits = apply_model(params, config, x, seq_len)
+        prob = path_prob(logits)
+        if beam == 0:
+            decoded, lengths, score = greedy_decode(logits, seq_len)
+        else:
+            decoded, lengths, score = beam_search_decode(
+                logits, seq_len, beam_width=beam
+            )
+        return decoded, lengths, score, prob
+
+    del t_out
+    return step
+
+
+def list_input_files(input_path: str, recursive: bool = True) -> Tuple[str, List[str]]:
+    """Resolve the (dir, relative file list) pair (chiron_eval.py:277-291)."""
+    if os.path.isdir(input_path):
+        if recursive:
+            file_list = []
+            dir_len = len(input_path) + 1
+            for dirpath, _, filenames in os.walk(input_path + "/"):
+                for filename in filenames:
+                    file_list.append(os.path.join(dirpath[dir_len:], filename))
+        else:
+            file_list = os.listdir(input_path)
+        file_dir = input_path
+    else:
+        file_list = [os.path.basename(input_path)]
+        file_dir = os.path.abspath(os.path.join(input_path, os.path.pardir))
+    file_list = sorted(
+        f for f in file_list if f.endswith(".signal") or f.endswith(".fast5")
+    )
+    return file_dir, file_list
+
+
+def _batch_stream(
+    file_dir: str,
+    file_list: List[str],
+    flags,
+    ratio: float,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, List[str], dict]]:
+    """Yield fixed-size batches packed across files.
+
+    Each yield: (x [B, L], seq_len_frames [B], window_idx [B], fnames [B],
+    read_meta {fname: (n_windows, reading_time)}).
+    """
+    bsz = flags.batch_size
+    seg = flags.segment_len
+    buf_x = np.zeros((0, seg), np.float32)
+    buf_len = np.zeros(0, np.int32)
+    buf_idx = np.zeros(0, np.int64)
+    buf_fn: List[str] = []
+    meta = {}
+    for name in file_list:
+        t0 = time.time()
+        windows, lengths = read_signal_for_eval(
+            os.path.join(file_dir, name),
+            flags.start,
+            step=flags.jump,
+            seg_length=seg,
+            normalize=getattr(flags, "sig_norm", None),
+            reverse_fast5=flags.reverse_fast5,
+        )
+        meta[name] = (len(windows), time.time() - t0)
+        buf_x = np.concatenate([buf_x, windows], axis=0)
+        buf_len = np.concatenate([buf_len, lengths])
+        buf_idx = np.concatenate([buf_idx, np.arange(len(windows))])
+        buf_fn.extend([name] * len(windows))
+        while len(buf_x) >= bsz:
+            yield (
+                buf_x[:bsz],
+                np.round(buf_len[:bsz] / ratio).astype(np.int32),
+                buf_idx[:bsz],
+                buf_fn[:bsz],
+                meta,
+            )
+            meta = {}
+            buf_x = buf_x[bsz:]
+            buf_len = buf_len[bsz:]
+            buf_idx = buf_idx[bsz:]
+            buf_fn = buf_fn[bsz:]
+    n = len(buf_x)
+    if n > 0:
+        pad = bsz - n
+        buf_x = np.pad(buf_x, ((0, pad), (0, 0)), mode="wrap")
+        buf_len = np.pad(buf_len, (0, pad), mode="wrap")
+        buf_idx = np.concatenate([buf_idx, np.full(pad, -1)])
+        buf_fn = buf_fn + [""] * pad
+        yield (
+            buf_x,
+            np.round(buf_len / ratio).astype(np.int32),
+            buf_idx,
+            buf_fn,
+            meta,
+        )
+
+
+def load_params(model_dir: str, config, seed: int = 0):
+    """Restore params from the model dir, or random-init with a warning."""
+    params, step = restore_latest(model_dir) if model_dir else (None, None)
+    if params is None:
+        print(
+            f"WARNING: no parameter checkpoint found in {model_dir!r}; "
+            "using randomly initialised weights."
+        )
+        params = init_model(jax.random.PRNGKey(seed), config)
+    return params
+
+
+def evaluation(flags) -> dict:
+    """Run basecalling over all input files. Returns summary stats."""
+    config_path = os.path.join(flags.model, "model.json") if flags.model else None
+    config = C.read_config(config_path)
+    params = load_params(flags.model, config)
+
+    ensure_output_dirs(flags.output)
+    file_dir, file_list = list_input_files(flags.input, getattr(flags, "recursive", True))
+    print(f"Found {len(file_list)} files.")
+
+    ratio = model_ratio(config, flags.segment_len)
+    step_fn = make_decode_step(config, flags.segment_len, flags.beam, flags.batch_size)
+    params = jax.device_put(params)
+
+    # per-file accumulators
+    acc = defaultdict(dict)  # fname -> {idx: (bases, prob)}
+    counts = {}  # fname -> expected window count
+    timing = {}  # fname -> (start_time, reading_time)
+    done_order = [f for f in file_list]
+    total_bases = 0
+    total_windows = 0
+
+    inflight: deque = deque()
+    pipeline_depth = 2
+
+    def drain_one():
+        nonlocal total_bases, total_windows
+        decoded, lengths, score, prob, widx, fnames = inflight.popleft()
+        decoded = np.asarray(decoded)
+        lengths = np.asarray(lengths)
+        prob = np.asarray(prob)
+        for i in range(len(fnames)):
+            if widx[i] < 0:
+                continue
+            fn = fnames[i]
+            n = int(lengths[i])
+            bases = "".join(C.BASES[c] for c in decoded[i, :n])
+            acc[fn][int(widx[i])] = (bases, float(prob[i]))
+            total_windows += 1
+        # finalize any complete files
+        for fn in list(acc.keys()):
+            if fn in counts and len(acc[fn]) == counts[fn]:
+                total_bases_f = _finalize_file(fn, acc.pop(fn), flags, timing[fn])
+                total_bases += total_bases_f
+
+    for x, sl, widx, fnames, meta in _batch_stream(file_dir, file_list, flags, ratio):
+        for fn, (nwin, rtime) in meta.items():
+            counts[fn] = nwin
+            timing[fn] = (time.time() - rtime, rtime)  # (start_time, reading)
+        out = step_fn(params, jnp.asarray(x), jnp.asarray(sl))
+        inflight.append(out + (widx, fnames))
+        if len(inflight) > pipeline_depth:
+            drain_one()
+    while inflight:
+        drain_one()
+    # files with zero windows still need (empty) output
+    for fn in done_order:
+        if fn in acc and counts.get(fn, -1) == len(acc[fn]):
+            total_bases += _finalize_file(fn, acc.pop(fn), flags, timing[fn])
+    return {
+        "n_files": len(file_list),
+        "total_bases": total_bases,
+        "total_windows": total_windows,
+    }
+
+
+def _finalize_file(fname: str, windows: dict, flags, times) -> int:
+    """Assemble one read's windows and write outputs. Returns base count."""
+    start_time, reading_time = times
+    idxs = sorted(windows.keys())
+    bpreads = [windows[i][0] for i in idxs]
+    qs_list = np.asarray([[windows[i][1]] for i in idxs])
+    basecall_time = time.time() - start_time
+    file_pre = os.path.splitext(fname)[0]
+    # flatten subdirectory paths into the flat output layout
+    file_pre = file_pre.replace(os.path.sep, "_")
+    bpreads = [b for b in bpreads]
+    js_ratio = flags.jump / flags.segment_len
+    kernel = get_assembler_kernel(flags.jump, flags.segment_len)
+    nonempty = [i for i, b in enumerate(bpreads) if len(b) > 0]
+    qs_string = None
+    if not nonempty:
+        consensus_seq = ""
+        if flags.extension == "fastq":
+            qs_string = ""
+    elif flags.extension == "fastq":
+        consensus, consensus_qs = simple_assembly_qs(
+            [bpreads[i] for i in nonempty],
+            qs_list[nonempty],
+            js_ratio,
+            kernel=kernel,
+        )
+        qs_string = qs(consensus, consensus_qs)
+        consensus_seq = consensus_to_bases(consensus)
+    else:
+        consensus = simple_assembly(
+            [bpreads[i] for i in nonempty], js_ratio, kernel=kernel
+        )
+        consensus_seq = consensus_to_bases(consensus)
+    assembly_time = time.time() - start_time
+    list_of_time = [start_time, reading_time, basecall_time, assembly_time]
+    write_output(
+        bpreads,
+        consensus_seq,
+        list_of_time,
+        file_pre,
+        concise=flags.concise,
+        suffix=flags.extension,
+        q_score=qs_string,
+        global_setting=flags,
+    )
+    return len(consensus_seq)
+
+
+def run(flags) -> dict:
+    """Entry point (parity: chiron/chiron_eval.py:525-544)."""
+    from chiron_tpu.utils.timing import unix_time
+
+    print(f"The result will be written to {flags.output}")
+    if not os.path.isdir(flags.output):
+        os.makedirs(flags.output)
+    result = {}
+
+    def _run():
+        result.update(evaluation(flags))
+
+    time_dict = unix_time(_run)
+    print(
+        "Real time:%5.3f Systime:%5.3f Usertime:%5.3f"
+        % (time_dict["real"], time_dict["sys"], time_dict["user"])
+    )
+    write_run_meta(flags.output, flags.input, time_dict)
+    result["time"] = time_dict
+    return result

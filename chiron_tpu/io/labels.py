@@ -1,0 +1,245 @@
+"""Training-label IO: fast5 corrected events, .label files, windowing.
+
+Replaces chiron/utils/labelop.py:133-187 (get_label_raw) and the label-side
+readers/segmenters of chiron/chiron_input.py:570-693 (read_label, read_raw,
+base2ind, padding). The signal/label windower emits plain numpy arrays with
+dense padded labels (no sparse tensors — static shapes for TPU CTC loss).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+from typing import List, Tuple
+
+import h5py
+import numpy as np
+
+raw_labels = collections.namedtuple("raw_labels", ["start", "length", "base"])
+
+MIN_LABEL_LENGTH = 2
+MIN_SIGNAL_PRO = 0.3
+
+
+def base2ind(base: str, alphabet_n: int = 4) -> int:
+    """Base char -> class index (chiron/chiron_input.py:710-729)."""
+    if alphabet_n == 4:
+        upper, lower = "ACGT", "acgt"
+    elif alphabet_n == 5:
+        upper, lower = "ACGTX", "acgtx"
+    else:
+        raise ValueError("Alphabet number should be 4 or 5.")
+    if base.isdigit():
+        return int(base) // 256
+    if ord(base) < 97:
+        return upper.index(base)
+    return lower.index(base)
+
+
+def get_label_raw(
+    fast5_fn: str, basecall_group: str, basecall_subgroup: str
+) -> Tuple[tuple, tuple]:
+    """Raw signal + resquiggled event labels from a corrected fast5.
+
+    Parity: chiron/utils/labelop.py:133-187.
+    """
+    try:
+        fast5_data = h5py.File(fast5_fn, "r")
+    except IOError:
+        raise IOError("Error opening file. Likely a corrupted file.")
+    try:
+        raw_grp = list(fast5_data["/Raw/Reads/"].values())[0]
+        raw_dat = np.asarray(raw_grp["Signal"])
+    except Exception:
+        fast5_data.close()
+        raise RuntimeError(
+            "Raw data is not stored in Raw/Reads/Read_[read#] so "
+            "new segments cannot be identified."
+        )
+    try:
+        global_attrs = fast5_data["/UniqueGlobalKey/channel_id/"].attrs
+        offset = float(global_attrs["offset"])
+        digitisation = float(global_attrs["digitisation"])
+        range_s = float(global_attrs["range"])
+    except Exception:
+        fast5_data.close()
+        raise RuntimeError("Failed to extract channel information.")
+    try:
+        corr_data = fast5_data[
+            "/Analyses/" + basecall_group + "/" + basecall_subgroup + "/Events"
+        ]
+        corr_attrs = dict(corr_data.attrs.items())
+        corr_data = np.asarray(corr_data)
+    except Exception:
+        fast5_data.close()
+        raise RuntimeError("Corrected data not found.")
+    corr_start_rel_to_raw = corr_attrs["read_start_rel_to_raw"]
+    if len(raw_dat) > 99999999:
+        fast5_data.close()
+        raise ValueError(fast5_fn + ": max signal length exceed 99999999")
+    if any(len(vals) <= 1 for vals in (corr_data, raw_dat)):
+        fast5_data.close()
+        raise NotImplementedError("One or no segments or signal present in read.")
+    event_starts = corr_data["start"] + corr_start_rel_to_raw
+    event_lengths = corr_data["length"]
+    event_bases = corr_data["base"]
+    fast5_data.close()
+    label_data = np.array(
+        list(zip(event_starts, event_lengths, event_bases)),
+        dtype=[("start", "<u4"), ("length", "<u4"), ("base", "S1")],
+    )
+    return (
+        (raw_dat, label_data, event_starts, event_lengths),
+        (offset, range_s, digitisation),
+    )
+
+
+def read_label(file_path: str, skip_start: int = 10, window_n: int = 0) -> raw_labels:
+    """Read a .label file (start, end, base per line).
+
+    Parity: chiron/chiron_input.py:570-593 (k-mer window encoding included).
+    """
+    start, length, base, all_base = [], [], [], []
+    if skip_start < window_n:
+        skip_start = window_n
+    with open(file_path) as f:
+        lines = f.readlines()
+    for line in lines:
+        record = line.split()
+        all_base.append(base2ind(record[2]))
+    file_len = len(all_base)
+    for count, line in enumerate(lines):
+        record = line.split()
+        if count < skip_start or count > (file_len - skip_start - 1):
+            continue
+        start.append(int(record[0]))
+        length.append(int(record[1]) - int(record[0]))
+        k_mer = 0
+        for i in range(window_n * 2 + 1):
+            k_mer = k_mer * 4 + all_base[count + i - window_n]
+        base.append(k_mer)
+    return raw_labels(start=start, length=length, base=base)
+
+
+def read_raw(
+    raw_signal: np.ndarray, raw_label: raw_labels, max_seq_length: int
+) -> Tuple[List, List, List, List]:
+    """Cut (signal, label) windows at label boundaries with QC.
+
+    Windows are accumulated label-event by label-event until adding the next
+    event would exceed max_seq_length; a window passes QC if it covers >30%
+    of the window with signal and has >2 labels. The tail of each saved
+    window is padded with upcoming signal (parity:
+    chiron/chiron_input.py:630-692).
+    """
+    label_val, label_length, event_val, event_length = [], [], [], []
+    current_length = 0
+    current_label: List[int] = []
+    current_event: List[float] = []
+    signal_len = len(raw_signal)
+    raw_signal = list(raw_signal)
+    for indx, segment_length in enumerate(raw_label.length):
+        current_start = raw_label.start[indx]
+        current_base = raw_label.base[indx]
+        assert current_start + segment_length < signal_len
+        if current_length + segment_length < max_seq_length:
+            current_event += raw_signal[current_start:current_start + segment_length]
+            current_label.append(current_base)
+            current_length += segment_length
+        else:
+            if (
+                current_length > (max_seq_length * MIN_SIGNAL_PRO)
+                and len(current_label) > MIN_LABEL_LENGTH
+            ):
+                pad_src = raw_signal[
+                    current_start + segment_length:
+                    current_start + segment_length + max_seq_length
+                ]
+                _pad(current_event, max_seq_length, pad_src)
+                event_val.append(current_event)
+                event_length.append(current_length)
+                label_val.append(current_label)
+                label_length.append(len(current_label))
+            current_event = raw_signal[current_start:current_start + segment_length]
+            current_length = segment_length
+            current_label = [current_base]
+    return event_val, event_length, label_val, label_length
+
+
+def _pad(x: list, length: int, padding_list=None) -> None:
+    """In-place pad to length (chiron/chiron_input.py:681-692)."""
+    len_x = len(x)
+    assert len_x <= length, "Length of vector x is larger than the padding length"
+    zero_n = length - len_x
+    if padding_list is None:
+        x.extend([0] * zero_n)
+    elif len(padding_list) < zero_n:
+        x.extend(list(padding_list) + [0] * (zero_n - len(padding_list)))
+    else:
+        x.extend(list(padding_list[0:zero_n]))
+
+
+def read_raw_data_sets(
+    data_dir: str,
+    seq_length: int = 300,
+    k_mer: int = 1,
+    max_segments_num=None,
+    skip_start: int = 10,
+    sig_norm=None,
+):
+    """Walk a directory of .signal/.label pairs into dense training arrays.
+
+    Returns (events [N, L] f32, event_lengths [N] i32, labels [N, U] i32
+    padded with -1, label_lengths [N] i32). Replaces the HDF5-spill biglist
+    machinery (chiron/chiron_input.py:429-524) with plain arrays — modern
+    hosts hold tens of millions of windows in RAM.
+    """
+    from chiron_tpu.io.signal import read_signal
+
+    events, event_lengths, labels, label_lengths = [], [], [], []
+    for root, _, files in os.walk(data_dir, topdown=False):
+        for name in sorted(files):
+            if not name.endswith(".signal"):
+                continue
+            file_pre = os.path.splitext(name)[0]
+            f_signal = read_signal(os.path.join(root, name), normalize=sig_norm)
+            label_path = os.path.join(root, file_pre + ".label")
+            if len(f_signal) == 0:
+                continue
+            try:
+                f_label = read_label(
+                    label_path, skip_start=skip_start, window_n=(k_mer - 1) // 2
+                )
+            except Exception:
+                print(f"Read the label {name} fail.Skipped.")
+                continue
+            ev, evl, lb, lbl = read_raw(f_signal, f_label, seq_length)
+            events += ev
+            event_lengths += evl
+            labels += lb
+            label_lengths += lbl
+            if max_segments_num is not None and len(events) > max_segments_num:
+                events = events[:max_segments_num]
+                event_lengths = event_lengths[:max_segments_num]
+                labels = labels[:max_segments_num]
+                label_lengths = label_lengths[:max_segments_num]
+                break
+    n = len(events)
+    if n == 0:
+        return (
+            np.zeros((0, seq_length), np.float32),
+            np.zeros(0, np.int32),
+            np.zeros((0, 0), np.int32),
+            np.zeros(0, np.int32),
+        )
+    u_max = max(label_lengths)
+    event_arr = np.asarray(events, np.float32)
+    label_arr = np.full((n, u_max), -1, np.int32)
+    for i, lb in enumerate(labels):
+        label_arr[i, : len(lb)] = lb
+    return (
+        event_arr,
+        np.asarray(event_lengths, np.int32),
+        label_arr,
+        np.asarray(label_lengths, np.int32),
+    )

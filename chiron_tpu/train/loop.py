@@ -1,0 +1,285 @@
+"""Unified data-parallel trainer (replaces all three reference trainers).
+
+One jitted train step over a data-parallel mesh supersedes
+chiron_rcnn_train.py (feed-dict), chiron_train.py (queue input), and
+chiron_multi_gpu_train.py (in-graph towers + CPU gradient averaging): the
+batch is sharded on the mesh's 'data' axis, parameters are replicated, and
+XLA GSPMD inserts the gradient all-reduce over ICI — the TPU-native
+equivalent of ``average_gradients`` (chiron_multi_gpu_train.py:48-72).
+
+Optimisation parity with chiron/chiron_model.py:20-99:
+  * piecewise-constant LR at 66% / 83% of max_steps x {1, 0.1, 0.01}
+  * Adam / SGD / RMSProp / Momentum(nesterov 0.9)
+  * optional per-gradient norm clipping
+  * exponential moving average of weights (decay 0.9999)
+  * CTC loss with focal modulation (fl_gamma)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from chiron_tpu import config as C
+from chiron_tpu.io.labels import read_raw_data_sets
+from chiron_tpu.models import apply_model, init_model, model_ratio
+from chiron_tpu.ops.ctc_greedy import greedy_decode
+from chiron_tpu.ops.ctc_loss import ctc_focal_loss
+from chiron_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from chiron_tpu.train.checkpoint import restore_latest, save_checkpoint
+
+MOVING_AVERAGE_DECAY = 0.9999
+LR_BOUNDARY = [0.66, 0.83]
+LR_DECAY = [1e-1, 1e-2]
+MOMENTUM = 0.9
+
+
+def make_lr_schedule(init_rate: float, max_steps: int):
+    boundaries = {
+        int(max_steps * LR_BOUNDARY[0]): LR_DECAY[0],
+        int(max_steps * LR_BOUNDARY[1]): LR_DECAY[1] / LR_DECAY[0],
+    }
+    return optax.piecewise_constant_schedule(init_rate, boundaries)
+
+
+def make_optimizer(
+    opt_name: str, init_rate: float, max_steps: int, clip_norm: Optional[float] = None
+):
+    schedule = make_lr_schedule(init_rate, max_steps)
+    opts = {
+        "Adam": lambda: optax.adam(schedule),
+        "SGD": lambda: optax.sgd(schedule),
+        "RMSProp": lambda: optax.rmsprop(schedule),
+        "Momentum": lambda: optax.sgd(schedule, momentum=MOMENTUM, nesterov=True),
+    }
+    if opt_name not in opts:
+        raise ValueError(f"Unknown optimizer {opt_name}")
+    tx = opts[opt_name]()
+    if clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
+
+
+def make_train_step(config: Dict[str, Any], tx, fl_gamma: float):
+    """Jitted step: (params, ema, opt_state, batch) -> (..., loss)."""
+
+    def loss_fn(params, batch):
+        logits = apply_model(params, config, batch["signal"], batch["seq_len"])
+        return ctc_focal_loss(
+            logits,
+            batch["seq_len"],
+            batch["label"],
+            batch["label_len"],
+            fl_gamma=fl_gamma,
+        )
+
+    @jax.jit
+    def step(params, ema_params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: MOVING_AVERAGE_DECAY * e + (1.0 - MOVING_AVERAGE_DECAY) * p,
+            ema_params,
+            params,
+        )
+        return params, ema_params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(config: Dict[str, Any]):
+    @jax.jit
+    def step(params, batch):
+        logits = apply_model(params, config, batch["signal"], batch["seq_len"])
+        return greedy_decode(logits, batch["seq_len"])
+
+    return step
+
+
+def edit_distance(a, b) -> int:
+    """Levenshtein distance between two int sequences."""
+    if len(a) == 0:
+        return len(b)
+    if len(b) == 0:
+        return len(a)
+    prev = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        cur = np.empty(len(b) + 1, dtype=np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (np.asarray(b) != ca)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub[j - 1])
+        prev = cur
+    return int(prev[-1])
+
+
+def mean_edit_distance(decoded, dec_lens, labels, label_lens) -> float:
+    """Mean normalized edit distance (chiron/chiron_model.py:124-130)."""
+    total = 0.0
+    n = len(decoded)
+    for i in range(n):
+        ref = labels[i][: label_lens[i]]
+        hyp = decoded[i][: dec_lens[i]]
+        d = edit_distance(hyp, ref)
+        total += d / max(len(ref), 1)
+    return total / max(n, 1)
+
+
+class Dataset:
+    """Shuffled epoch batcher over dense training arrays."""
+
+    def __init__(self, events, event_lens, labels, label_lens, seed=0):
+        self.events = events
+        self.event_lens = event_lens
+        self.labels = labels
+        self.label_lens = label_lens
+        self.n = len(events)
+        self.rng = np.random.RandomState(seed)
+        self._perm = self.rng.permutation(self.n)
+        self._pos = 0
+        self.epochs_completed = 0
+
+    def next_batch(self, batch_size: int, shuffle: bool = True):
+        idx = []
+        while len(idx) < batch_size:
+            take = min(batch_size - len(idx), self.n - self._pos)
+            idx.extend(self._perm[self._pos:self._pos + take])
+            self._pos += take
+            if self._pos >= self.n:
+                self.epochs_completed += 1
+                self._pos = 0
+                if shuffle:
+                    self._perm = self.rng.permutation(self.n)
+        idx = np.asarray(idx)
+        return {
+            "signal": self.events[idx],
+            "seq_len": self.event_lens[idx],
+            "label": self.labels[idx],
+            "label_len": self.label_lens[idx],
+        }
+
+
+def load_dataset(data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10) -> Dataset:
+    arrays = read_raw_data_sets(
+        data_dir, seq_length=seq_len, k_mer=k_mer,
+        max_segments_num=max_segments, skip_start=skip_start,
+    )
+    return Dataset(*arrays)
+
+
+def train(hparams) -> Dict[str, Any]:
+    """Main training loop (parity: chiron/chiron_rcnn_train.py:66-136)."""
+    model_dir = os.path.join(hparams.log_dir, hparams.model_name)
+    os.makedirs(model_dir, exist_ok=True)
+    config_path = os.path.join(model_dir, "model.json")
+    if getattr(hparams, "retrain", False) and os.path.exists(config_path):
+        config = C.read_config(config_path)
+    else:
+        config = C.read_config(getattr(hparams, "configure", None))
+    C.save_config(config_path, config)
+    # also dump the run flags beside the model (chiron_rcnn_train.py:77-81)
+    with open(os.path.join(model_dir, "train_config"), "w") as f:
+        json.dump({k: str(v) for k, v in vars(hparams).items()}, f, indent=2)
+
+    mesh = make_mesh(getattr(hparams, "n_devices", 0))
+    n_dev = len(mesh.devices.ravel())
+    batch_size = hparams.batch_size
+    if batch_size % n_dev:
+        batch_size += n_dev - batch_size % n_dev
+        print(f"Rounded batch size up to {batch_size} for {n_dev} devices")
+
+    seq_len = hparams.sequence_len
+    ratio = model_ratio(config, seq_len)
+
+    dataset = load_dataset(
+        hparams.data_dir,
+        seq_len,
+        k_mer=int(getattr(hparams, "k_mer", 1)),
+        max_segments=getattr(hparams, "segments_num", None),
+    )
+    if dataset.n == 0:
+        raise ValueError(f"No training segments found under {hparams.data_dir}")
+    print(f"Loaded {dataset.n} training segments")
+    valid = None
+    if getattr(hparams, "validation", None):
+        valid = load_dataset(hparams.validation, seq_len)
+
+    params, start_step = (None, None)
+    if getattr(hparams, "retrain", False):
+        params, start_step = restore_latest(model_dir)
+    if params is None:
+        params = init_model(jax.random.PRNGKey(0), config)
+        start_step = 0
+    start_step = start_step or 0
+    params = replicate(mesh, params)
+    ema_params = params
+
+    tx = make_optimizer(
+        config.get("opt_method", "Adam"), hparams.step_rate, hparams.max_steps
+    )
+    opt_state = replicate(mesh, tx.init(jax.device_get(params)))
+    step_fn = make_train_step(config, tx, float(config.get("fl_gamma", 0)))
+    eval_fn = make_eval_step(config)
+
+    save_every = int(getattr(hparams, "save_every", 10))
+    resample_every = int(getattr(hparams, "resample_after_epoch", 0) or 0)
+    offset_inc = int(getattr(hparams, "offset_increment", 3))
+    skip_start = 10
+    losses = []
+    t0 = time.time()
+    last_loss = None
+    for i in range(start_step, hparams.max_steps):
+        if (
+            resample_every > 0
+            and dataset.epochs_completed > 0
+            and dataset.epochs_completed % resample_every == 0
+            and dataset._pos == 0
+        ):
+            skip_start += offset_inc
+            dataset = load_dataset(
+                hparams.data_dir, seq_len,
+                k_mer=int(getattr(hparams, "k_mer", 1)),
+                max_segments=getattr(hparams, "segments_num", None),
+                skip_start=skip_start,
+            )
+        batch = dataset.next_batch(batch_size)
+        batch["seq_len"] = np.round(batch["seq_len"] / ratio).astype(np.int32)
+        batch = shard_batch(mesh, batch)
+        params, ema_params, opt_state, loss = step_fn(
+            params, ema_params, opt_state, batch
+        )
+        if (i + 1) % save_every == 0 or (i + 1) == hparams.max_steps:
+            last_loss = float(loss)
+            losses.append(last_loss)
+            err = None
+            if valid is not None:
+                vbatch = valid.next_batch(batch_size)
+                vbatch["seq_len"] = np.round(vbatch["seq_len"] / ratio).astype(np.int32)
+                dec, dlens, _ = eval_fn(params, shard_batch(mesh, vbatch))
+                err = mean_edit_distance(
+                    np.asarray(dec), np.asarray(dlens),
+                    vbatch["label"], vbatch["label_len"],
+                )
+            save_checkpoint(model_dir, params, i + 1)
+            dt = time.time() - t0
+            msg = f"step {i + 1} loss {last_loss:.4f} {dt / save_every:.3f}s/step"
+            if err is not None:
+                msg += f" valid_edit_dist {err:.4f}"
+            print(msg)
+            t0 = time.time()
+    # final checkpoint includes the EMA weights separately
+    save_checkpoint(model_dir, ema_params, hparams.max_steps, prefix="ema")
+    save_checkpoint(model_dir, params, hparams.max_steps, prefix="final")
+    return {"final_loss": last_loss, "losses": losses, "model_dir": model_dir}
+
+
+def run(args):
+    return train(args)

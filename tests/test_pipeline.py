@@ -1,0 +1,113 @@
+import json
+import os
+import types
+
+import numpy as np
+
+from synth import make_fast5_dir
+
+
+def _flags(tmp_path, **kw):
+    f = types.SimpleNamespace(
+        input=os.path.join(str(tmp_path), "fast5"),
+        output=os.path.join(str(tmp_path), "out"),
+        model=os.path.join(str(tmp_path), "model"),
+        start=0,
+        batch_size=8,
+        segment_len=100,
+        jump=95,
+        threads=0,
+        beam=0,
+        extension="fastq",
+        concise=False,
+        mode="dna",
+        reverse_fast5=False,
+        recursive=True,
+    )
+    for k, v in kw.items():
+        setattr(f, k, v)
+    return f
+
+
+def _make_model_dir(path):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.json"), "w") as fh:
+        json.dump(
+            {
+                "cnn": {"model": "dna_model1"},
+                "rnn": {"layer_num": 1, "hidden_num": 16, "cell_type": "LSTM",
+                        "layer_type": "normal"},
+                "opt_method": "Adam",
+                "fl_gamma": 2,
+            },
+            fh,
+        )
+
+
+def test_call_pipeline_end_to_end_greedy(tmp_path):
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=2, n_bases=100, seed=0)
+    flags = _flags(tmp_path)
+    _make_model_dir(flags.model)
+    result = pipeline.run(flags)
+    assert result["n_files"] == 2
+    # output layout parity: result/, segments/, meta/
+    for sub in ("result", "segments", "meta"):
+        assert os.path.isdir(os.path.join(flags.output, sub))
+    fastqs = sorted(os.listdir(os.path.join(flags.output, "result")))
+    assert fastqs == ["synth0.fastq", "synth1.fastq"]
+    content = open(os.path.join(flags.output, "result", "synth0.fastq")).read()
+    lines = content.splitlines()
+    assert lines[0] == "@synth0"
+    assert set(lines[1]) <= set("ACGT")
+    assert lines[2] == "+"
+    assert len(lines[3]) == len(lines[1])  # quality string length matches
+    meta = open(os.path.join(flags.output, "meta", "synth0.meta")).read()
+    assert "# Reading Basecalling assembly output total rate(bp/s)" in meta
+    # whole-run meta appended
+    assert os.path.exists(os.path.join(flags.output, "meta", "all.meta"))
+
+
+def test_call_pipeline_beam_and_fasta(tmp_path):
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=1, n_bases=80, seed=1)
+    flags = _flags(tmp_path, beam=5, extension="fasta", batch_size=4)
+    _make_model_dir(flags.model)
+    result = pipeline.run(flags)
+    assert result["n_files"] == 1
+    fa = open(os.path.join(flags.output, "result", "synth0.fasta")).read()
+    assert fa.startswith(">synth0\n")
+
+
+def test_call_pipeline_batch_spans_files(tmp_path):
+    # batch_size bigger than windows-per-file: batches must pack across
+    # files and regroup correctly (reference parity chiron_eval.py:403-428)
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=3, n_bases=60, seed=2)
+    flags = _flags(tmp_path, batch_size=64)
+    _make_model_dir(flags.model)
+    result = pipeline.run(flags)
+    fastqs = sorted(os.listdir(os.path.join(flags.output, "result")))
+    assert len(fastqs) == 3
+
+
+def test_cli_call_on_fast5_dir(tmp_path):
+    from chiron_tpu import cli
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=1, n_bases=60, seed=3)
+    model_dir = os.path.join(str(tmp_path), "model")
+    _make_model_dir(model_dir)
+    out = os.path.join(str(tmp_path), "out")
+    cli.main([
+        "call", "-i", os.path.join(str(tmp_path), "fast5"), "-o", out,
+        "-m", model_dir, "-b", "4", "-l", "100", "-j", "95", "--beam", "0",
+    ])
+    # extraction step writes raw/*.signal first (reference call flow parity)
+    assert os.path.isdir(os.path.join(out, "raw"))
+    assert any(f.endswith(".signal") for f in os.listdir(os.path.join(out, "raw")))
+    assert any(
+        f.endswith(".fastq") for f in os.listdir(os.path.join(out, "result"))
+    )

@@ -1,0 +1,131 @@
+import os
+import types
+
+import jax
+import numpy as np
+
+from synth import make_training_dir
+
+
+def _hparams(tmp_path, **kw):
+    h = types.SimpleNamespace(
+        data_dir=os.path.join(str(tmp_path), "train"),
+        log_dir=os.path.join(str(tmp_path), "log"),
+        model_name="test_model",
+        validation=None,
+        sequence_len=200,
+        batch_size=16,
+        step_rate=2e-3,
+        max_steps=60,
+        segments_num=None,
+        configure=None,
+        k_mer=1,
+        retrain=False,
+        resample_after_epoch=0,
+        offset_increment=3,
+        n_devices=1,
+        save_every=20,
+    )
+    for k, v in kw.items():
+        setattr(h, k, v)
+    return h
+
+
+def _tiny_config(tmp_path):
+    import json
+
+    cfg = {
+        "cnn": {"model": "custom"},
+        "rnn": {"layer_num": 1, "hidden_num": 32, "cell_type": "LSTM",
+                "layer_type": "normal"},
+        "opt_method": "Adam",
+        "fl_gamma": 0,
+    }
+    path = os.path.join(str(tmp_path), "config.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def test_training_reduces_loss_and_learns(tmp_path):
+    from chiron_tpu.train import loop
+
+    make_training_dir(os.path.join(str(tmp_path), "train"), n_files=3,
+                      n_bases=400, seed=0)
+    h = _hparams(tmp_path, configure=_tiny_config(tmp_path), max_steps=120,
+                 step_rate=4e-3)
+    result = loop.train(h)
+    losses = result["losses"]
+    assert len(losses) >= 3
+    # must fall substantially on this trivially learnable mapping
+    assert losses[-1] < losses[0] * 0.7, losses
+    # checkpoints + model.json written
+    mdir = result["model_dir"]
+    assert os.path.exists(os.path.join(mdir, "model.json"))
+    assert os.path.exists(os.path.join(mdir, "checkpoint"))
+    assert any(f.startswith("final-") for f in os.listdir(mdir))
+    assert any(f.startswith("ema-") for f in os.listdir(mdir))
+
+
+def test_retrain_restores(tmp_path):
+    from chiron_tpu.train import loop
+
+    make_training_dir(os.path.join(str(tmp_path), "train"), n_files=2,
+                      n_bases=200, seed=1)
+    h = _hparams(tmp_path, configure=_tiny_config(tmp_path), max_steps=20)
+    loop.train(h)
+    h2 = _hparams(tmp_path, configure=_tiny_config(tmp_path), max_steps=30,
+                  retrain=True)
+    result = loop.train(h2)
+    assert result["final_loss"] is not None
+
+
+def test_data_parallel_matches_single_device(tmp_path):
+    # The same batch stepped on a 1-device and an 8-device mesh must give
+    # (numerically close) identical parameters — GSPMD psum == big batch.
+    from chiron_tpu import config as C
+    from chiron_tpu.models import init_model
+    from chiron_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from chiron_tpu.train.loop import make_optimizer, make_train_step
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    cfg = C.default_config()
+    cfg["cnn"]["model"] = "custom"
+    cfg["rnn"] = {"layer_num": 1, "hidden_num": 8, "cell_type": "LSTM",
+                  "layer_type": "normal"}
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "signal": rng.randn(16, 64).astype(np.float32),
+        "seq_len": np.full(16, 64, np.int32),
+        "label": rng.randint(0, 4, (16, 10)).astype(np.int32),
+        "label_len": np.full(16, 10, np.int32),
+    }
+    results = {}
+    for ndev in (1, 8):
+        mesh = make_mesh(ndev)
+        tx = make_optimizer("Adam", 1e-3, 100)
+        step = make_train_step(cfg, tx, 0.0)
+        p = replicate(mesh, params)
+        ema = p
+        opt = replicate(mesh, tx.init(jax.device_get(p)))
+        b = shard_batch(mesh, batch)
+        for _ in range(3):
+            p, ema, opt, loss = step(p, ema, opt, b)
+        results[ndev] = (jax.device_get(p), float(loss))
+    p1, l1 = results[1]
+    p8, l8 = results[8]
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_edit_distance():
+    from chiron_tpu.train.loop import edit_distance
+
+    assert edit_distance([0, 1, 2], [0, 1, 2]) == 0
+    assert edit_distance([0, 1, 2], [0, 2]) == 1
+    assert edit_distance([], [1, 2]) == 2
+    assert edit_distance([0, 1], [1, 0]) == 2
