@@ -167,10 +167,12 @@ class Dataset:
         }
 
 
-def load_dataset(data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10) -> Dataset:
+def load_dataset(
+    data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10, sig_norm=None
+) -> Dataset:
     arrays = read_raw_data_sets(
         data_dir, seq_length=seq_len, k_mer=k_mer,
-        max_segments_num=max_segments, skip_start=skip_start,
+        max_segments_num=max_segments, skip_start=skip_start, sig_norm=sig_norm,
     )
     return Dataset(*arrays)
 
@@ -199,18 +201,20 @@ def train(hparams) -> Dict[str, Any]:
     seq_len = hparams.sequence_len
     ratio = model_ratio(config, seq_len)
 
+    sig_norm = getattr(hparams, "sig_norm", None)
     dataset = load_dataset(
         hparams.data_dir,
         seq_len,
         k_mer=int(getattr(hparams, "k_mer", 1)),
         max_segments=getattr(hparams, "segments_num", None),
+        sig_norm=sig_norm,
     )
     if dataset.n == 0:
         raise ValueError(f"No training segments found under {hparams.data_dir}")
     print(f"Loaded {dataset.n} training segments")
     valid = None
     if getattr(hparams, "validation", None):
-        valid = load_dataset(hparams.validation, seq_len)
+        valid = load_dataset(hparams.validation, seq_len, sig_norm=sig_norm)
 
     params, start_step = (None, None)
     if getattr(hparams, "retrain", False):
@@ -249,6 +253,7 @@ def train(hparams) -> Dict[str, Any]:
                 k_mer=int(getattr(hparams, "k_mer", 1)),
                 max_segments=getattr(hparams, "segments_num", None),
                 skip_start=skip_start,
+                sig_norm=sig_norm,
             )
         batch = dataset.next_batch(batch_size)
         batch["seq_len"] = np.round(batch["seq_len"] / ratio).astype(np.int32)

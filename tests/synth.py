@@ -67,13 +67,13 @@ def write_fast5(path, signal, starts=None, lengths=None, bases=None, read_id="re
             ev.attrs["read_start_rel_to_raw"] = 0
 
 
-def make_training_dir(tmpdir, n_files=4, n_bases=200, seed=0):
+def make_training_dir(tmpdir, n_files=4, n_bases=200, seed=0, noise=5.0):
     """Write .signal/.label pairs directly (post-export layout)."""
     rng = np.random.RandomState(seed)
     os.makedirs(tmpdir, exist_ok=True)
     reads = []
     for i in range(n_files):
-        seq, starts, lengths, signal = synth_read(rng, n_bases)
+        seq, starts, lengths, signal = synth_read(rng, n_bases, noise=noise)
         with open(os.path.join(tmpdir, f"read{i}.signal"), "w") as f:
             f.write("\n".join(str(float(x)) for x in signal))
         with open(os.path.join(tmpdir, f"read{i}.label"), "w") as f:
@@ -83,12 +83,12 @@ def make_training_dir(tmpdir, n_files=4, n_bases=200, seed=0):
     return reads
 
 
-def make_fast5_dir(tmpdir, n_files=3, n_bases=150, seed=0, with_events=True):
+def make_fast5_dir(tmpdir, n_files=3, n_bases=150, seed=0, with_events=True, noise=5.0):
     rng = np.random.RandomState(seed)
     os.makedirs(tmpdir, exist_ok=True)
     reads = []
     for i in range(n_files):
-        seq, starts, lengths, signal = synth_read(rng, n_bases)
+        seq, starts, lengths, signal = synth_read(rng, n_bases, noise=noise)
         path = os.path.join(tmpdir, f"synth{i}.fast5")
         if with_events:
             write_fast5(path, signal, starts, lengths, seq, read_id=f"read{i}")
