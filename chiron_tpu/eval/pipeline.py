@@ -57,8 +57,32 @@ def path_prob(logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_decode_step(config, segment_len: int, beam: int, batch_size: int):
-    """Build the jitted device step: signal windows -> decoded segments."""
+    """Build (or fetch) the jitted device step for this configuration.
+
+    Memoised: a fresh ``jax.jit`` closure per evaluation() call would defeat
+    jit caching and recompile the whole forward+decode program (tens of
+    seconds through the remote-compile path) on every run.
+    """
+    import json as _json
+
+    key = (_json.dumps(config, sort_keys=True), segment_len, beam, batch_size)
+    cached = _DECODE_STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    step = _build_decode_step(config, segment_len, beam, batch_size)
+    _DECODE_STEP_CACHE[key] = step
+    return step
+
+
+_DECODE_STEP_CACHE: dict = {}
+
+
+def _build_decode_step(config, segment_len: int, beam: int, batch_size: int):
     t_out = output_len(config, segment_len)
+
+    from chiron_tpu.models.rnn import _use_pallas
+
+    use_pallas_beam = _use_pallas()
 
     @jax.jit
     def step(params, x, seq_len):
@@ -66,6 +90,12 @@ def make_decode_step(config, segment_len: int, beam: int, batch_size: int):
         prob = path_prob(logits)
         if beam == 0:
             decoded, lengths, score = greedy_decode(logits, seq_len)
+        elif use_pallas_beam and beam <= 32:
+            from chiron_tpu.ops.pallas.beam import beam_search_pallas
+
+            decoded, lengths, score = beam_search_pallas(
+                logits, seq_len, beam_width=beam
+            )
         else:
             decoded, lengths, score = beam_search_decode(
                 logits, seq_len, beam_width=beam

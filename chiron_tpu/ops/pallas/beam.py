@@ -1,0 +1,333 @@
+"""CTC prefix beam search as fused Pallas TPU kernels.
+
+The XLA implementation (chiron_tpu/ops/ctc_beam.py) pays per-timestep
+kernel-launch latency for ~15 ops/step (candidate scoring, hash-equality
+merge, lax.top_k sort, gathers) — ~0.8ms/step, 326ms for T=400. These
+kernels run the whole search in TWO pallas programs:
+
+* ``_beam_kernel``: grid (batch_tiles, T); per grid step the full candidate
+  expansion, merge, and an unrolled W-iteration argmax top-k happen on VPU
+  registers/VMEM, with beam state persisting in VMEM scratch across the
+  time axis. Emits per-step (parent, char) traceback records.
+* ``_traceback_kernel``: grid (batch_tiles, T) in reverse time order,
+  following the best beam's parent chain with one-hot lane selects.
+
+Candidate layout per batch row (256 lanes): lanes [0,32) hold the W stay
+candidates; lanes [32*(c+1), 32*(c+2)) hold extend-with-label-c candidates.
+Lane arithmetic (lane//32, lane%32) recovers (char, parent) after top-k.
+
+Semantics are identical to ops/ctc_beam.py (same scoring, same rolling-hash
+merge, ties broken toward the lowest candidate index).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chiron_tpu.config import BLANK
+
+_NEG = -1e30
+_H1_MULT = np.int32(-1640531535)  # 2654435761 as int32 (same bits)
+_H2_MULT = np.int32(0x01000193)
+NLAB = 4  # non-blank labels
+SEG = 32  # candidate segment width (>= W)
+NSEG = NLAB + 1
+CAND = SEG * NSEG  # 160 -> padded to 256 lanes
+CAND_PAD = 256
+
+
+def _lae(a, b):
+    """logaddexp guarded for -1e30 sentinels."""
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    return jnp.where(mx <= _NEG / 2, _NEG, mx + jnp.log1p(jnp.exp(mn - mx)))
+
+
+def _beam_kernel(w_ref, lens_ref, lp_ref, trace_ref,
+                 pb_s, pnb_s, h1_s, h2_s, last_s):
+    t = pl.program_id(1)
+    tb = pb_s.shape[0]
+    w = w_ref[0, 0]  # beam width (scalar)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
+    live = lane < w  # [TB, SEG] valid beam slots
+
+    @pl.when(t == 0)
+    def _():
+        pb_s[:] = jnp.where(lane == 0, 0.0, _NEG)
+        pnb_s[:] = jnp.full((tb, SEG), _NEG)
+        h1_s[:] = jnp.where(lane == 0, 1, lane * 7919 + 3)
+        h2_s[:] = jnp.where(lane == 0, 1, lane * 104729 + 5)
+        last_s[:] = jnp.full((tb, SEG), -1, jnp.int32)
+
+    pb = pb_s[:]
+    pnb = pnb_s[:]
+    h1 = h1_s[:]
+    h2 = h2_s[:]
+    last = last_s[:]
+
+    lp = lp_ref[0]  # [TB, 8] (5 classes padded to 8 lanes)
+    lp_blank = lp[:, BLANK:BLANK + 1]  # [TB, 1]
+    # lp at each beam's last label via 4-way select (no gathers on TPU)
+    lp_last = jnp.full((tb, SEG), 0.0)
+    for c in range(NLAB):
+        lp_last = jnp.where(last == c, lp[:, c:c + 1], lp_last)
+
+    pb_or_pnb = _lae(pb, pnb)
+    stay_pb = pb_or_pnb + lp_blank
+    stay_pnb = jnp.where(last >= 0, pnb + lp_last, _NEG)
+    stay_pb = jnp.where(live, stay_pb, _NEG)
+    stay_pnb = jnp.where(live, stay_pnb, _NEG)
+
+    ext_pnb = []
+    ext_h1 = []
+    ext_h2 = []
+    for c in range(NLAB):
+        base = jnp.where(last == c, pb, pb_or_pnb)
+        e = lp[:, c:c + 1] + base
+        ext_pnb.append(jnp.where(live, e, _NEG))
+        ext_h1.append(h1 * _H1_MULT + (c + 1))
+        ext_h2.append(h2 * _H2_MULT + (c + 1))
+
+    # ---- merge extends into equal-hash stays (per label, pairwise) -------
+    killed = []
+    merged_total = jnp.full((tb, SEG), _NEG)
+    for c in range(NLAB):
+        # eq[b, w_ext, w_stay]: SEG sublanes x SEG lanes... we lay the
+        # pairwise matrix as [TB, SEG, SEG] (stay on lanes).
+        live_i = live.astype(jnp.int32)  # i1 minor-dim inserts unsupported
+        eq = (
+            (ext_h1[c][:, :, None] == h1[:, None, :])
+            & (ext_h2[c][:, :, None] == h2[:, None, :])
+            & (ext_pnb[c][:, :, None] > _NEG / 2)
+            & (live_i[:, :, None] > 0)
+            & (live_i[:, None, :] > 0)
+        )
+        contrib = jnp.where(eq, ext_pnb[c][:, :, None], _NEG)  # [TB,SEG,SEG]
+        m = jnp.max(contrib, axis=1)  # [TB, SEG] per stay
+        s = jnp.sum(jnp.where(eq, jnp.exp(contrib - m[:, None, :]), 0.0), axis=1)
+        merged = jnp.where(m > _NEG / 2, m + jnp.log(jnp.maximum(s, 1e-37)), _NEG)
+        merged_total = _lae(merged_total, merged)
+        killed.append(jnp.any(eq, axis=2))  # [TB, SEG] per extend
+    stay_pnb = _lae(stay_pnb, merged_total)
+
+    # ---- assemble candidate lanes [TB, CAND_PAD] -------------------------
+    neg_tail = jnp.full((tb, CAND_PAD - CAND), _NEG)
+    zeros_tail_i = jnp.zeros((tb, CAND_PAD - CAND), jnp.int32)
+    cand_pb = jnp.concatenate(
+        [stay_pb] + [jnp.full((tb, SEG), _NEG)] * NLAB + [neg_tail], axis=1
+    )
+    cand_pnb = jnp.concatenate(
+        [stay_pnb]
+        + [jnp.where(killed[c], _NEG, ext_pnb[c]) for c in range(NLAB)]
+        + [neg_tail],
+        axis=1,
+    )
+    cand_h1 = jnp.concatenate([h1] + ext_h1 + [zeros_tail_i], axis=1)
+    cand_h2 = jnp.concatenate([h2] + ext_h2 + [zeros_tail_i], axis=1)
+    cand_last = jnp.concatenate(
+        [last] + [jnp.full((tb, SEG), c, jnp.int32) for c in range(NLAB)]
+        + [zeros_tail_i],
+        axis=1,
+    )
+    score = _lae(cand_pb, cand_pnb)
+
+    cl = jax.lax.broadcasted_iota(jnp.int32, (tb, CAND_PAD), 1)
+    new_pb = pb_s[:]
+    new_pnb = pnb_s[:]
+    new_h1 = h1_s[:]
+    new_h2 = h2_s[:]
+    new_last = last_s[:]
+    parents = jnp.zeros((tb, SEG), jnp.int32)
+    chars = jnp.full((tb, SEG), -1, jnp.int32)
+
+    # ---- unrolled top-k: W iterations of argmax+mask ---------------------
+    # W is static (<= SEG); slots k >= w keep inert values. A slot that
+    # gets no live candidate (all remaining scores are -inf) receives a
+    # FRESH garbage hash — otherwise it would copy candidate 0's hash and a
+    # later merge could resurrect a duplicate prefix.
+    W_MAX = SEG
+    for k in range(W_MAX):
+        m = jnp.max(score, axis=1, keepdims=True)  # [TB, 1]
+        idx = jnp.min(jnp.where(score >= m, cl, CAND_PAD), axis=1, keepdims=True)
+        onehot = cl == idx  # [TB, CAND_PAD]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1) == k
+        picked_live = m > _NEG / 2  # [TB, 1]
+
+        def pick_f(arr):
+            return jnp.sum(jnp.where(onehot, arr, 0.0), axis=1, keepdims=True)
+
+        def pick_i(arr):
+            return jnp.sum(jnp.where(onehot, arr, 0), axis=1, keepdims=True)
+
+        valid_k = k < w
+        sel = col & valid_k
+        garbage1 = (t * 131 + k) * 7919 + 1000003
+        garbage2 = (t * 131 + k) * 104729 + 666
+        new_pb = jnp.where(sel, jnp.where(picked_live, pick_f(cand_pb), _NEG), new_pb)
+        new_pnb = jnp.where(sel, jnp.where(picked_live, pick_f(cand_pnb), _NEG), new_pnb)
+        new_h1 = jnp.where(sel, jnp.where(picked_live, pick_i(cand_h1), garbage1), new_h1)
+        new_h2 = jnp.where(sel, jnp.where(picked_live, pick_i(cand_h2), garbage2), new_h2)
+        new_last = jnp.where(sel, jnp.where(picked_live, pick_i(cand_last), -1), new_last)
+        parents = jnp.where(sel, jnp.where(picked_live, pick_i(cl % SEG), k), parents)
+        chars = jnp.where(sel, jnp.where(picked_live, pick_i(cl // SEG - 1), -1), chars)
+        score = jnp.where(onehot, _NEG, score)
+
+    # ---- freeze past each row's length -----------------------------------
+    active = lens_ref[:, :1] > t  # [TB, 1]
+    pb_s[:] = jnp.where(active, new_pb, pb)
+    pnb_s[:] = jnp.where(active, new_pnb, pnb)
+    h1_s[:] = jnp.where(active, new_h1, h1)
+    h2_s[:] = jnp.where(active, new_h2, h2)
+    last_s[:] = jnp.where(active, new_last, last)
+    wlane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
+    out_parent = jnp.where(active, parents, wlane)
+    out_char = jnp.where(active, chars, -1)
+    # pack (char, parent) into one int32 word: (char+1)*SEG + parent
+    trace_ref[0] = (out_char + 1) * SEG + out_parent
+    # NOTE: final beam scores are rematerialised outside from pb/pnb outputs
+
+
+def _final_kernel(pb_ref, pnb_ref, score_ref):
+    score_ref[:] = _lae(pb_ref[:], pnb_ref[:])
+
+
+def _traceback_kernel(best_ref, trace_in_ref, out_ref, w_scr):
+    t = pl.program_id(1)  # 0..T-1, mapped to time T-1-t by the index map
+    tb = w_scr.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        w_scr[:] = best_ref[:]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
+    wcur = w_scr[:, :1]  # [TB, 1] current beam per row
+    onehot = lane == wcur
+    packed = trace_in_ref[0]  # [TB, SEG]: (char+1)*SEG + parent
+    v = jnp.sum(jnp.where(onehot, packed, 0), axis=1, keepdims=True)
+    c = v // SEG - 1
+    p = v % SEG
+    out_ref[0] = jnp.broadcast_to(c, (tb, SEG))
+    w_scr[:] = jnp.broadcast_to(p, (tb, SEG))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_width", "batch_tile", "interpret")
+)
+def beam_search_pallas(
+    logits: jnp.ndarray,
+    seq_lengths: jnp.ndarray,
+    beam_width: int = 30,
+    batch_tile: int = 128,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ops.ctc_beam.beam_search_decode on TPU.
+
+    Returns (decoded [B,T] int32 -1-padded, lengths [B], log_prob [B]).
+    """
+    if beam_width > SEG:
+        raise ValueError(f"beam_width must be <= {SEG}")
+    bsz, t_max, nclass = logits.shape
+    assert nclass == 5
+    bp = -(-bsz // batch_tile) * batch_tile
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    lp = jnp.pad(lp, ((0, bp - bsz), (0, 0), (0, 3)), constant_values=_NEG)
+    lp = jnp.transpose(lp, (1, 0, 2))  # [T, Bp, 8]
+    lens = jnp.pad(seq_lengths.astype(jnp.int32), (0, bp - bsz))
+    lens_b = jnp.broadcast_to(lens[:, None], (bp, 128))
+
+    n_tiles = bp // batch_tile
+    wq = jnp.full((1, 1), beam_width, jnp.int32)
+
+    (pb, pnb, trace) = pl.pallas_call(
+        _beam_wrapper,
+        grid=(n_tiles, t_max),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((batch_tile, 128), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch_tile, 8), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((batch_tile, SEG), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, SEG), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch_tile, SEG), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, SEG), jnp.float32),
+            jax.ShapeDtypeStruct((bp, SEG), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, bp, SEG), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, SEG), jnp.float32),
+            pltpu.VMEM((batch_tile, SEG), jnp.float32),
+            pltpu.VMEM((batch_tile, SEG), jnp.int32),
+            pltpu.VMEM((batch_tile, SEG), jnp.int32),
+            pltpu.VMEM((batch_tile, SEG), jnp.int32),
+        ],
+        interpret=interpret,
+    )(wq, lens_b, lp)
+
+    final_score = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (bp, SEG), 1) < beam_width,
+        _logaddexp_xla(pb, pnb),
+        _NEG,
+    )
+    best = jnp.argmax(final_score, axis=1).astype(jnp.int32)
+    log_prob = jnp.take_along_axis(final_score, best[:, None], axis=1)[:, 0]
+
+    best_b = jnp.broadcast_to(best[:, None], (bp, SEG))
+    rev = pl.pallas_call(
+        _traceback_kernel,
+        grid=(n_tiles, t_max),
+        in_specs=[
+            pl.BlockSpec((batch_tile, SEG), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, batch_tile, SEG),
+                lambda b, t: (t_max - 1 - t, b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, batch_tile, SEG), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_max, bp, SEG), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((batch_tile, SEG), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(best_b, trace)
+
+    # rev[t, b, 0] = char emitted at time T-1-t (-1 = none); forward order:
+    fwd = rev[::-1, :, 0].T[:bsz]  # [B, T]
+    keep = fwd >= 0
+    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
+    pos = jnp.cumsum(keep, axis=1) - 1
+    decoded = jnp.full((bsz, t_max), -1, jnp.int32)
+    bidx = jnp.arange(bsz)[:, None].repeat(t_max, axis=1)
+    scatter_pos = jnp.where(keep, pos, t_max)
+    decoded = decoded.at[bidx, scatter_pos].set(fwd, mode="drop")
+    return decoded, lengths, log_prob[:bsz]
+
+
+def _beam_wrapper(w_ref, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
+                  pb_s, pnb_s, h1_s, h2_s, last_s):
+    _beam_kernel(w_ref, lens_ref, lp_ref, trace_ref,
+                 pb_s, pnb_s, h1_s, h2_s, last_s)
+    # expose final state (written every step; last write wins)
+    pb_out[:] = pb_s[:]
+    pnb_out[:] = pnb_s[:]
+
+
+def _logaddexp_xla(a, b):
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    return jnp.where(mx <= _NEG / 2, _NEG, mx + jnp.log1p(jnp.exp(mn - mx)))

@@ -1,0 +1,54 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chiron_tpu.ops.ctc_beam import beam_search_decode
+from chiron_tpu.ops.pallas.beam import beam_search_pallas
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_beam_matches_xla(seed):
+    rng = np.random.RandomState(seed)
+    b, t = 5, 10
+    logits = rng.randn(b, t, 5).astype(np.float32) * 2
+    sl = jnp.asarray([t, t, 7, 1, 0])
+    dec_x, len_x, lp_x = beam_search_decode(jnp.asarray(logits), sl, beam_width=8)
+    dec_p, len_p, lp_p = beam_search_pallas(
+        jnp.asarray(logits), sl, beam_width=8, batch_tile=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_p))
+    np.testing.assert_array_equal(np.asarray(dec_x), np.asarray(dec_p))
+    np.testing.assert_allclose(np.asarray(lp_x), np.asarray(lp_p), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_beam_peaky():
+    rng = np.random.RandomState(3)
+    b, t = 3, 16
+    classes = rng.randint(0, 5, size=(b, t))
+    logits = np.full((b, t, 5), -20.0, np.float32)
+    for i in range(b):
+        for j in range(t):
+            logits[i, j, classes[i, j]] = 20.0
+    sl = jnp.asarray([t, t, 9])
+    dec_x, len_x, _ = beam_search_decode(jnp.asarray(logits), sl, beam_width=4)
+    dec_p, len_p, _ = beam_search_pallas(
+        jnp.asarray(logits), sl, beam_width=4, batch_tile=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(dec_x), np.asarray(dec_p))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_p))
+
+
+def test_pallas_beam_batch_tiling():
+    rng = np.random.RandomState(4)
+    b, t = 10, 8
+    logits = rng.randn(b, t, 5).astype(np.float32)
+    sl = jnp.full((b,), t, jnp.int32)
+    dec1, len1, lp1 = beam_search_pallas(
+        jnp.asarray(logits), sl, beam_width=6, batch_tile=4, interpret=True
+    )
+    dec2, len2, lp2 = beam_search_pallas(
+        jnp.asarray(logits), sl, beam_width=6, batch_tile=16, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(dec1), np.asarray(dec2))
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2), rtol=1e-5)
