@@ -122,6 +122,10 @@ def main(arguments=None):
                              help="Extract test_number reads, default is None, extract all reads.")
     parser_call.add_argument("-p", "--preset", default=None,
                              help="Preset evaluation parameters: dna-pre, rna-pre")
+    parser_call.add_argument("--n_devices", type=int, default=0,
+                             help="Shard each batch across this many chips (0 = single device).")
+    parser_call.add_argument("--sig_norm", type=int, default=None,
+                             help="Signal normalization: None raw (default), 0 median/mad, 1 mean/std.")
     parser_call.set_defaults(func=evaluation)
 
     # ---- export ----------------------------------------------------------

@@ -56,7 +56,8 @@ def path_prob(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(top2[..., 0] - top2[..., 1], axis=-1)
 
 
-def make_decode_step(config, segment_len: int, beam: int, batch_size: int):
+def make_decode_step(config, segment_len: int, beam: int, batch_size: int,
+                     n_devices: int = 1):
     """Build (or fetch) the jitted device step for this configuration.
 
     Memoised: a fresh ``jax.jit`` closure per evaluation() call would defeat
@@ -65,11 +66,12 @@ def make_decode_step(config, segment_len: int, beam: int, batch_size: int):
     """
     import json as _json
 
-    key = (_json.dumps(config, sort_keys=True), segment_len, beam, batch_size)
+    key = (_json.dumps(config, sort_keys=True), segment_len, beam, batch_size,
+           n_devices)
     cached = _DECODE_STEP_CACHE.get(key)
     if cached is not None:
         return cached
-    step = _build_decode_step(config, segment_len, beam, batch_size)
+    step = _build_decode_step(config, segment_len, beam, batch_size, n_devices)
     _DECODE_STEP_CACHE[key] = step
     return step
 
@@ -77,14 +79,14 @@ def make_decode_step(config, segment_len: int, beam: int, batch_size: int):
 _DECODE_STEP_CACHE: dict = {}
 
 
-def _build_decode_step(config, segment_len: int, beam: int, batch_size: int):
+def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
+                       n_devices: int = 1):
     t_out = output_len(config, segment_len)
 
     from chiron_tpu.models.rnn import _use_pallas
 
     use_pallas_beam = _use_pallas()
 
-    @jax.jit
     def step(params, x, seq_len):
         logits = apply_model(params, config, x, seq_len)
         prob = path_prob(logits)
@@ -103,7 +105,15 @@ def _build_decode_step(config, segment_len: int, beam: int, batch_size: int):
         return decoded, lengths, score, prob
 
     del t_out
-    return step
+    if n_devices > 1:
+        # every chip runs the full decode (incl. Pallas kernels) on its
+        # shard of the batch; see chiron_tpu/parallel/dist.py
+        from chiron_tpu.parallel.dist import make_sharded_decode_step
+        from chiron_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices)
+        return make_sharded_decode_step(step, mesh)
+    return jax.jit(step)
 
 
 def list_input_files(input_path: str, recursive: bool = True) -> Tuple[str, List[str]]:
@@ -209,10 +219,24 @@ def evaluation(flags) -> dict:
 
     ensure_output_dirs(flags.output)
     file_dir, file_list = list_input_files(flags.input, getattr(flags, "recursive", True))
-    print(f"Found {len(file_list)} files.")
+    # multi-host: shard the file stream (reads never span hosts)
+    if jax.process_count() > 1:
+        from chiron_tpu.parallel.dist import shard_files
 
+        file_list = shard_files(file_list, jax.process_count(), jax.process_index())
+        print(f"Process {jax.process_index()}/{jax.process_count()}: "
+              f"{len(file_list)} files in shard.")
+    else:
+        print(f"Found {len(file_list)} files.")
+
+    n_devices = int(getattr(flags, "n_devices", 0) or 1)
+    if n_devices > 1 and flags.batch_size % n_devices:
+        raise ValueError(
+            f"batch_size {flags.batch_size} not divisible by n_devices {n_devices}"
+        )
     ratio = model_ratio(config, flags.segment_len)
-    step_fn = make_decode_step(config, flags.segment_len, flags.beam, flags.batch_size)
+    step_fn = make_decode_step(config, flags.segment_len, flags.beam,
+                               flags.batch_size, n_devices)
     params = jax.device_put(params)
 
     # per-file accumulators

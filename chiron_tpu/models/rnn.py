@@ -60,6 +60,66 @@ def init_gru_cell(key, c_in: int, hidden: int) -> Params:
 
 
 _FORGET_BIAS = 1.0  # TF LSTMCell default
+_BN_EPS = 1e-5
+
+
+def init_bnlstm_cell(key, c_in: int, hidden: int) -> Params:
+    """Batch-normalized LSTM cell (arxiv 1603.09025).
+
+    Parity with chiron/utils/lstm.py:61-151 (BNLSTMCell): orthogonal
+    recurrent kernel, identity-free input kernel, separate batch
+    normalization of the input and recurrent projections (scale init 0.1),
+    shared bias applied after normalization.
+    """
+    from chiron_tpu.models.initializers import orthogonal
+
+    k1, k2 = jax.random.split(key)
+    return {
+        "wx": xavier_uniform(k1, (c_in, 4 * hidden)),
+        "wh": orthogonal(k2, (hidden, 4 * hidden)),
+        "b": jnp.zeros((4 * hidden,)),
+        "scale_x": jnp.full((4 * hidden,), 0.1),
+        "scale_h": jnp.full((4 * hidden,), 0.1),
+        "scale_c": jnp.full((hidden,), 0.1),
+        "offset_c": jnp.zeros((hidden,)),
+    }
+
+
+def _batch_norm_step(x, scale, mask_b):
+    """Normalize over the (masked) batch axis with current-batch moments."""
+    count = jnp.maximum(jnp.sum(mask_b), 1.0)
+    mean = jnp.sum(x * mask_b, axis=0, keepdims=True) / count
+    var = jnp.sum(((x - mean) ** 2) * mask_b, axis=0, keepdims=True) / count
+    return (x - mean) * lax.rsqrt(var + _BN_EPS) * scale
+
+
+def _bnlstm_scan(params: Params, xw: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Recurrent-BN LSTM over precomputed raw input projections x @ wx.
+
+    xw here must NOT include the bias (it is added post-normalization).
+    mask: [T, B, 1].
+    """
+    hidden = params["wh"].shape[0]
+    bsz = xw.shape[1]
+    h0 = jnp.zeros((bsz, hidden), xw.dtype)
+    c0 = jnp.zeros((bsz, hidden), xw.dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        gates_x, m = inp  # m: [B, 1]
+        bn_x = _batch_norm_step(gates_x, params["scale_x"], m)
+        bn_h = _batch_norm_step(h @ params["wh"], params["scale_h"], m)
+        gates = bn_x + bn_h + params["b"]
+        i, g, f, o = jnp.split(gates, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f + _FORGET_BIAS) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        bn_c = _batch_norm_step(new_c, params["scale_c"], m) + params["offset_c"]
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(bn_c)
+        new_c = m * new_c + (1.0 - m) * c
+        h_keep = m * new_h + (1.0 - m) * h
+        return (h_keep, new_c), m * new_h
+
+    _, hs = lax.scan(step, (h0, c0), (xw, mask))
+    return hs
 
 
 def _lstm_scan(params: Params, xw: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -133,7 +193,12 @@ def _run_cell(
     mask: jnp.ndarray,
     lengths: jnp.ndarray,
 ) -> jnp.ndarray:
-    if cell_type in ("LSTM", "BNLSTM"):
+    if cell_type == "BNLSTM":
+        # recurrent batch norm is batch-stat-coupled per step; stays on the
+        # XLA scan path (no fused kernel yet)
+        xw = x @ params["wx"]
+        return _bnlstm_scan(params, xw, mask)
+    if cell_type == "LSTM":
         if _use_pallas():
             from chiron_tpu.ops.pallas.lstm import (
                 lstm_layer_pallas,
@@ -154,7 +219,9 @@ def _run_cell(
 
 
 def _init_cell(cell_type: str, key, c_in: int, hidden: int) -> Params:
-    if cell_type in ("LSTM", "BNLSTM"):
+    if cell_type == "BNLSTM":
+        return init_bnlstm_cell(key, c_in, hidden)
+    if cell_type == "LSTM":
         return init_lstm_cell(key, c_in, hidden)
     elif cell_type == "GRU":
         return init_gru_cell(key, c_in, hidden)

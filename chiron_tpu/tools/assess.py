@@ -1,0 +1,240 @@
+"""Basecall accuracy assessment: identity / error-rate analysis.
+
+Self-contained replacement for the reference's external toolchain
+(chiron/utils/assess.sh: graphmap align -> samtools -> japsa
+jsa.hts.errorAnalysis): called reads are globally aligned to their
+references with the framework's affine-gap aligner and per-read + aggregate
+identity, mismatch, insertion and deletion rates are reported. For long
+reads the alignment runs banded around the diagonal for linear-ish time.
+
+Usage:
+  python -m chiron_tpu.tools.assess -i result/ -r reference_dir_or_fasta
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _read_fastx(path: str) -> Dict[str, str]:
+    """name -> sequence for a fasta/fastq file."""
+    seqs: Dict[str, str] = {}
+    with open(path) as f:
+        text = f.read()
+    if not text:
+        return seqs
+    if text[0] == ">":
+        name = None
+        parts: list = []
+        for line in text.splitlines():
+            if line.startswith(">"):
+                if name is not None:
+                    seqs[name] = "".join(parts)
+                name = line[1:].split()[0]
+                parts = []
+            else:
+                parts.append(line.strip())
+        if name is not None:
+            seqs[name] = "".join(parts)
+    elif text[0] == "@":
+        lines = text.splitlines()
+        for i in range(0, len(lines) - 1, 4):
+            seqs[lines[i][1:].split()[0]] = lines[i + 1].strip()
+    return seqs
+
+
+def banded_global_align(
+    a: str, b: str, band: Optional[int] = None,
+    match: int = 1, mismatch: int = -3, gap_open: int = -5, gap_extend: int = -2,
+) -> Tuple[int, int, int, int]:
+    """Affine-gap global alignment statistics inside a diagonal band.
+
+    Returns (matches, mismatches, insertions, deletions) where insertions
+    are bases in ``a`` (the called read) absent from ``b`` (the reference).
+    """
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return 0, 0, n, m
+    if band is None:
+        band = max(64, abs(n - m) + 64)
+    av = np.frombuffer(a.encode(), np.uint8)
+    bv = np.frombuffer(b.encode(), np.uint8)
+    neg = -(1 << 30)
+    width = 2 * band + 1
+    # DP over diagonals: col j in [i - band + off0, ...]; store M/X/Y rows
+    M = np.full(width, neg, np.int64)
+    X = np.full(width, neg, np.int64)
+    Y = np.full(width, neg, np.int64)
+    # pointers packed: 2 bits per state per cell per row
+    ptrM = np.zeros((n + 1, width), np.int8)
+    ptrX = np.zeros((n + 1, width), np.int8)
+    ptrY = np.zeros((n + 1, width), np.int8)
+
+    def col_range(i):
+        lo = max(0, i - band)
+        hi = min(m, i + band) + 1
+        return lo, hi
+
+    # row 0
+    lo0, hi0 = col_range(0)
+    M[0 - lo0 + 0] = 0  # j=0
+    for j in range(1, hi0):
+        Y[j - lo0] = gap_open + gap_extend * j
+        ptrY[0, j - lo0] = 2 if j > 1 else 0
+    prevM, prevX, prevY, prev_lo = M.copy(), X.copy(), Y.copy(), lo0
+    for i in range(1, n + 1):
+        lo, hi = col_range(i)
+        M = np.full(width, neg, np.int64)
+        X = np.full(width, neg, np.int64)
+        Y = np.full(width, neg, np.int64)
+        for j in range(lo, hi):
+            k = j - lo
+            pk = j - prev_lo
+            # X: consume a[i-1] (gap in reference -> insertion)
+            if 0 <= pk < width:
+                xo = prevM[pk] + gap_open + gap_extend
+                xe = prevX[pk] + gap_extend
+                if xe > xo:
+                    X[k] = xe
+                    ptrX[i, k] = 1
+                else:
+                    X[k] = xo
+                    ptrX[i, k] = 0
+            # Y: consume b[j-1] (deletion)
+            if j - 1 >= lo:
+                yo = M[k - 1] + gap_open + gap_extend
+                ye = Y[k - 1] + gap_extend
+                if ye > yo:
+                    Y[k] = ye
+                    ptrY[i, k] = 2
+                else:
+                    Y[k] = yo
+                    ptrY[i, k] = 0
+            # M: diagonal
+            if j >= 1 and 0 <= (j - 1 - prev_lo) < width:
+                pd = j - 1 - prev_lo
+                cands = (prevM[pd], prevX[pd], prevY[pd])
+                kk = int(np.argmax(cands))
+                if cands[kk] > neg:
+                    sub = match if av[i - 1] == bv[j - 1] else mismatch
+                    M[k] = cands[kk] + sub
+                    ptrM[i, k] = kk
+        prevM, prevX, prevY, prev_lo = M, X, Y, lo
+    lo, hi = col_range(n)
+    k = m - lo
+    if not (0 <= k < width):
+        return 0, 0, n, m  # band exceeded: count as all-error
+    state = int(np.argmax((M[k], X[k], Y[k])))
+    # traceback
+    i, j = n, m
+    matches = mismatches = insertions = deletions = 0
+    while i > 0 or j > 0:
+        lo_i = max(0, i - band)
+        k = j - lo_i
+        if state == 0 and i > 0 and j > 0:
+            if av[i - 1] == bv[j - 1]:
+                matches += 1
+            else:
+                mismatches += 1
+            state = int(ptrM[i, k])
+            i -= 1
+            j -= 1
+        elif state == 1 and i > 0:
+            insertions += 1
+            state = 0 if ptrX[i, k] == 0 else 1
+            i -= 1
+        elif j > 0:
+            deletions += 1
+            state = 0 if ptrY[i, k] == 0 else 2
+            j -= 1
+        else:
+            insertions += i
+            break
+    return matches, mismatches, insertions, deletions
+
+
+def assess_read(called: str, reference: str, band: Optional[int] = None) -> dict:
+    ma, mi, ins, de = banded_global_align(called, reference, band)
+    ref_len = len(reference)
+    return {
+        "matches": ma,
+        "mismatches": mi,
+        "insertions": ins,
+        "deletions": de,
+        "identity": ma / max(ref_len, 1),
+        "error_rate": (mi + ins + de) / max(ref_len, 1),
+        "called_len": len(called),
+        "ref_len": ref_len,
+    }
+
+
+def assess_dir(result_dir: str, reference: str, band: Optional[int] = None) -> dict:
+    """Assess every called read in result_dir against its reference.
+
+    ``reference`` may be a directory of per-read <name>_ref.fastq files (the
+    extraction layout) or a single fasta/fastq keyed by read name.
+    """
+    refs: Dict[str, str] = {}
+    if os.path.isdir(reference):
+        for f in os.listdir(reference):
+            seqs = _read_fastx(os.path.join(reference, f))
+            for name, seq in seqs.items():
+                refs[name] = seq
+            if len(seqs) == 1 and f.endswith("_ref.fastq"):
+                refs[f[: -len("_ref.fastq")]] = next(iter(seqs.values()))
+    else:
+        refs = _read_fastx(reference)
+    rows = {}
+    totals = {"matches": 0, "mismatches": 0, "insertions": 0, "deletions": 0,
+              "ref_len": 0}
+    for f in sorted(os.listdir(result_dir)):
+        if not (f.endswith(".fastq") or f.endswith(".fasta")):
+            continue
+        called_seqs = _read_fastx(os.path.join(result_dir, f))
+        for name, called in called_seqs.items():
+            ref = refs.get(name) or refs.get(os.path.splitext(f)[0])
+            if ref is None:
+                continue
+            row = assess_read(called, ref, band)
+            rows[name] = row
+            for key in ("matches", "mismatches", "insertions", "deletions", "ref_len"):
+                totals[key] += row[key]
+    ref_total = max(totals["ref_len"], 1)
+    summary = {
+        "n_reads": len(rows),
+        "identity": totals["matches"] / ref_total,
+        "mismatch_rate": totals["mismatches"] / ref_total,
+        "insertion_rate": totals["insertions"] / ref_total,
+        "deletion_rate": totals["deletions"] / ref_total,
+        "error_rate": (totals["mismatches"] + totals["insertions"] + totals["deletions"]) / ref_total,
+    }
+    return {"reads": rows, "summary": summary}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Basecall accuracy assessment.")
+    parser.add_argument("-i", "--input", required=True,
+                        help="result/ dir of called fastq/fasta files")
+    parser.add_argument("-r", "--reference", required=True,
+                        help="reference dir (extraction layout) or fasta/fastq")
+    parser.add_argument("--band", type=int, default=None,
+                        help="alignment band radius (default: auto)")
+    args = parser.parse_args(argv)
+    out = assess_dir(args.input, args.reference, args.band)
+    s = out["summary"]
+    print(f"reads assessed: {s['n_reads']}")
+    print(f"identity:       {s['identity']:.4f}")
+    print(f"mismatch rate:  {s['mismatch_rate']:.4f}")
+    print(f"insertion rate: {s['insertion_rate']:.4f}")
+    print(f"deletion rate:  {s['deletion_rate']:.4f}")
+    print(f"error rate:     {s['error_rate']:.4f}")
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

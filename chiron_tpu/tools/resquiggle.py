@@ -1,0 +1,271 @@
+"""Signal<->sequence resquiggling (training-label generation).
+
+Python driver around the native coarse-to-fine banded DTW aligner
+(chiron_tpu/native/dtw.cc) — the framework's equivalent of the reference's
+vendored cwDTW_nano binary pipeline (chiron/chiron_label.py:255-277):
+
+  basecalled/reference sequence --pore model--> expected signal levels
+  raw signal --z-normalise--> normalised signal
+  DTW align --> per-base signal intervals --> Corrected_000 events in fast5
+
+The native library is built on demand with the Makefile next to it; a pure
+numpy fallback implements the same pyramid algorithm (slower) so the tool
+works even without a C++ toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libchiron_native.so")
+_lib = None
+
+
+def _load_native():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.chiron_resquiggle.restype = ctypes.c_double
+    lib.chiron_resquiggle.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.chiron_dtw_distance.restype = ctypes.c_double
+    lib.chiron_dtw_distance.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+# --------------------------------------------------------------------------
+# pore model: k-mer -> expected current level
+# --------------------------------------------------------------------------
+
+class PoreModel:
+    """k-mer level table. Loadable from the standard ONT tsv layout
+    (kmer<TAB>level_mean<TAB>level_stdv...), or a synthetic 1-mer default."""
+
+    def __init__(self, levels: dict, k: int):
+        self.levels = levels
+        self.k = k
+
+    @classmethod
+    def load(cls, path: str) -> "PoreModel":
+        levels = {}
+        k = 1
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#") or line.startswith("kmer"):
+                    continue
+                parts = line.split()
+                if len(parts) >= 2:
+                    levels[parts[0]] = float(parts[1])
+                    k = len(parts[0])
+        return cls(levels, k)
+
+    @classmethod
+    def default(cls) -> "PoreModel":
+        # synthetic single-base model (z-normalised downstream, so only the
+        # relative ordering matters); real runs should load an ONT table
+        return cls({"A": 100.0, "C": 200.0, "G": 300.0, "T": 400.0}, 1)
+
+    def expected_signal(self, sequence: str) -> np.ndarray:
+        """Per-base expected level (centred k-mer window)."""
+        n = len(sequence)
+        seq = sequence.upper().replace("U", "T")
+        out = np.zeros(n, np.float32)
+        half = self.k // 2
+        for i in range(n):
+            kmer = seq[max(0, i - half):max(0, i - half) + self.k]
+            if len(kmer) < self.k:
+                kmer = (seq[:self.k] if i < half else seq[-self.k:])
+            out[i] = self.levels.get(kmer, np.mean(list(self.levels.values())))
+        return out
+
+
+def znorm(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float32)
+    std = np.std(x)
+    return (x - np.mean(x)) / (std if std > 0 else 1.0)
+
+
+# --------------------------------------------------------------------------
+# alignment
+# --------------------------------------------------------------------------
+
+def _py_fast_dtw(a: np.ndarray, b: np.ndarray, radius: int, min_size: int = 64):
+    """numpy fallback of the native pyramid DTW. Returns (cost, path)."""
+    n, m = len(a), len(b)
+    if n <= min_size or m <= min_size:
+        return _py_banded(a, b, np.zeros(n, np.int64), np.full(n, m, np.int64))
+    a2 = 0.5 * (a[: n // 2 * 2:2] + a[1: n // 2 * 2:2])
+    b2 = 0.5 * (b[: m // 2 * 2:2] + b[1: m // 2 * 2:2])
+    _, coarse = _py_fast_dtw(a2, b2, radius, min_size)
+    lo = np.full(n, m, np.int64)
+    hi = np.zeros(n, np.int64)
+    for ci, cj in coarse:
+        for i in (2 * ci, 2 * ci + 1):
+            if i < n:
+                lo[i] = min(lo[i], max(0, 2 * cj - radius))
+                hi[i] = max(hi[i], min(m, 2 * cj + radius + 2))
+    last_lo, last_hi = 0, 1
+    for i in range(n):
+        if lo[i] > hi[i]:
+            lo[i], hi[i] = last_lo, last_hi
+        lo[i] = min(lo[i], last_hi)
+        last_lo, last_hi = lo[i], hi[i]
+    hi[n - 1] = m
+    lo[n - 1] = min(lo[n - 1], m - 1)
+    return _py_banded(a, b, lo, hi)
+
+
+def _py_banded(a, b, lo, hi):
+    n, m = len(a), len(b)
+    INF = np.inf
+    cost = [dict() for _ in range(n)]
+    move = [dict() for _ in range(n)]
+    for i in range(n):
+        ai = a[i]
+        for j in range(lo[i], hi[i]):
+            d = (ai - b[j]) ** 2
+            if i == 0 and j == 0:
+                cost[i][j] = d
+                move[i][j] = 0
+                continue
+            best, mv = INF, 0
+            if i > 0 and (j - 1) in cost[i - 1] and cost[i - 1][j - 1] < best:
+                best, mv = cost[i - 1][j - 1], 0
+            if i > 0 and j in cost[i - 1] and cost[i - 1][j] < best:
+                best, mv = cost[i - 1][j], 1
+            if (j - 1) in cost[i] and cost[i][j - 1] < best:
+                best, mv = cost[i][j - 1], 2
+            if best < INF:
+                cost[i][j] = best + d
+                move[i][j] = mv
+    if (m - 1) not in cost[n - 1]:
+        return -1.0, []
+    path = []
+    i, j = n - 1, m - 1
+    total = cost[i][j]
+    while True:
+        path.append((i, j))
+        if i == 0 and j == 0:
+            break
+        mv = move[i][j]
+        if mv == 0:
+            i, j = i - 1, j - 1
+        elif mv == 1:
+            i -= 1
+        else:
+            j -= 1
+    path.reverse()
+    return total, path
+
+
+def resquiggle_signal(
+    raw_signal: np.ndarray,
+    sequence: str,
+    pore_model: Optional[PoreModel] = None,
+    radius: int = 50,
+) -> np.ndarray:
+    """Align a raw signal to a base sequence.
+
+    Returns starts [len(sequence)+1]: starts[k] is the first signal sample
+    of base k; starts[-1] == len(signal).
+    """
+    pm = pore_model or PoreModel.default()
+    expected = znorm(pm.expected_signal(sequence))
+    signal = znorm(raw_signal)
+    m = len(sequence)
+    lib = _load_native()
+    if lib is not None:
+        starts = np.zeros(m + 1, np.int32)
+        cost = lib.chiron_resquiggle(
+            np.ascontiguousarray(signal, np.float32),
+            len(signal),
+            np.ascontiguousarray(expected, np.float32),
+            m,
+            radius,
+            starts,
+        )
+        if cost >= 0:
+            return starts
+    # fallback
+    _, path = _py_fast_dtw(signal, expected, radius)
+    starts = np.full(m + 1, -1, np.int64)
+    for i, j in path:
+        if starts[j] < 0:
+            starts[j] = i
+    starts[m] = len(signal)
+    for k in range(m - 1, -1, -1):
+        if starts[k] < 0:
+            starts[k] = starts[k + 1]
+    starts[0] = 0
+    return starts.astype(np.int32)
+
+
+def events_from_starts(starts: np.ndarray, sequence: str):
+    """(start, length, base) event rows from base start indices."""
+    rows = []
+    for k, base in enumerate(sequence):
+        rows.append((int(starts[k]), int(starts[k + 1] - starts[k]), base))
+    return rows
+
+
+def write_corrected_events(
+    fast5_path: str,
+    starts: np.ndarray,
+    sequence: str,
+    group: str = "Corrected_000",
+    subgroup: str = "BaseCalled_template",
+) -> None:
+    """Write resquiggle results as Corrected events (chiron_label.py:189-213
+    write-back parity: the layout chiron's export stage consumes)."""
+    import h5py
+
+    data_format = np.dtype(
+        [("start", "<i4"), ("length", "<i4"), ("base", "S1")]
+    )
+    rows = events_from_starts(starts, sequence)
+    events = np.asarray(
+        [(s, l, b.encode()) for s, l, b in rows], dtype=data_format
+    )
+    with h5py.File(fast5_path, "r+") as root:
+        path = f"/Analyses/{group}/{subgroup}/Events"
+        if path in root:
+            del root[path]
+        ev = root.create_dataset(path, shape=(len(events),), dtype=data_format)
+        ev[...] = events
+        ev.attrs["read_start_rel_to_raw"] = 0

@@ -1,0 +1,163 @@
+import json
+import os
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synth import make_fast5_dir, synth_read, write_fast5
+
+
+def test_attention_decoder_shapes():
+    from chiron_tpu.models.attention import (
+        attention_decode,
+        attention_teacher_forcing_loss,
+        init_attention_decoder,
+    )
+
+    params = init_attention_decoder(jax.random.PRNGKey(0), enc_dim=16, hidden=8)
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 16))
+    enc_len = jnp.asarray([12, 7])
+    tokens, logits = attention_decode(params, enc, enc_len, max_steps=6)
+    assert tokens.shape == (2, 6)
+    assert logits.shape == (2, 6, 5)
+    targets = jnp.asarray([[0, 1, 2, 3], [3, 2, 1, 0]])
+    loss = attention_teacher_forcing_loss(
+        params, enc, enc_len, targets, jnp.asarray([4, 3])
+    )
+    assert np.isfinite(float(loss))
+    g = jax.grad(
+        lambda p: attention_teacher_forcing_loss(
+            p, enc, enc_len, targets, jnp.asarray([4, 3])
+        )
+    )(params)
+    assert np.isfinite(float(jnp.sum(g["out_w"])))
+
+
+def test_bnlstm_model_trains():
+    from chiron_tpu import config as C
+    from chiron_tpu.models import apply_model, init_model
+
+    cfg = C.default_config()
+    cfg["cnn"] = {"model": "custom"}
+    cfg["rnn"] = {"layer_num": 1, "hidden_num": 8, "cell_type": "BNLSTM",
+                  "layer_type": "normal"}
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    logits = apply_model(params, cfg, x, jnp.full((4,), 32, jnp.int32))
+    assert logits.shape == (4, 32, 5)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_assess_known_alignment():
+    from chiron_tpu.tools.assess import assess_read, banded_global_align
+
+    ref = "ACGTACGTACGT"
+    # identical
+    r = assess_read(ref, ref)
+    assert r["identity"] == 1.0 and r["error_rate"] == 0.0
+    # one mismatch
+    called = "ACGTACGAACGT"
+    r = assess_read(called, ref)
+    assert r["mismatches"] == 1 and r["matches"] == 11
+    # one deletion
+    r = assess_read("ACGTCGTACGT"[:11], ref)
+    assert r["deletions"] >= 1
+    # one insertion
+    r = assess_read("ACGGTACGTACGT", ref)
+    assert r["insertions"] == 1 and r["matches"] == 12
+
+
+def test_assess_dir(tmp_path):
+    from chiron_tpu.tools.assess import assess_dir
+
+    result = os.path.join(str(tmp_path), "result")
+    refdir = os.path.join(str(tmp_path), "reference")
+    os.makedirs(result)
+    os.makedirs(refdir)
+    open(os.path.join(result, "read1.fastq"), "w").write(
+        "@read1\nACGTACGT\n+\nIIIIIIII\n"
+    )
+    open(os.path.join(refdir, "read1_ref.fastq"), "w").write(
+        "@read1\nACGTACGT\n+\nIIIIIIII\n"
+    )
+    out = assess_dir(result, refdir)
+    assert out["summary"]["n_reads"] == 1
+    assert out["summary"]["identity"] == 1.0
+
+
+def test_grid_search_generate(tmp_path):
+    from chiron_tpu.tools.grid_search import generate_configs, write_configs
+
+    configs = generate_configs()
+    assert len(configs) == 16  # 1 cnn x 2 hu x 2 kw x 2 st x 2 rnn
+    paths = write_configs(str(tmp_path), configs)
+    cfg = json.load(open(paths[0]))
+    assert cfg["cnn"]["model"] == "dynamic_net"
+    # generated configs must be buildable
+    from chiron_tpu.models import init_model
+
+    init_model(jax.random.PRNGKey(0), cfg)
+
+
+def test_file_batch_tool(tmp_path):
+    from chiron_tpu.io.binfmt import read_bin_folder
+    from chiron_tpu.tools import file_batch
+
+    rng = np.random.RandomState(0)
+    f5dir = os.path.join(str(tmp_path), "fast5")
+    os.makedirs(f5dir)
+    for i in range(2):
+        seq, starts, lengths, signal = synth_read(rng, 300)
+        write_fast5(os.path.join(f5dir, f"r{i}.fast5"), signal, starts,
+                    lengths, seq)
+    out = os.path.join(str(tmp_path), "bins")
+    args = types.SimpleNamespace(
+        input=f5dir, output=out, basecall_group="Corrected_000",
+        basecall_subgroup="BaseCalled_template", length=256, batch=4,
+        normalization="median", max=10, mode="dna",
+    )
+    result = file_batch.run(args)
+    assert result["success"] == 2
+    assert result["batches"] >= 1
+    e, el, lb, ll = read_bin_folder(out)
+    assert e.shape[1] == 256
+    assert len(e) >= 4
+    assert np.all(ll > 0)
+
+
+def test_labeler_pipeline(tmp_path):
+    from chiron_tpu.tools import labeler
+
+    rng = np.random.RandomState(1)
+    f5dir = os.path.join(str(tmp_path), "fast5")
+    os.makedirs(f5dir)
+    seqs = {}
+    for i in range(2):
+        seq, starts, lengths, signal = synth_read(rng, 120, noise=2.0)
+        write_fast5(os.path.join(f5dir, f"r{i}.fast5"), signal,
+                    read_id=f"read{i}")
+        seqs[f"read{i}"] = seq
+    # per-read reference fasta keyed by read id (no aligner available)
+    ref_path = os.path.join(str(tmp_path), "refs.fasta")
+    with open(ref_path, "w") as f:
+        for name, seq in seqs.items():
+            f.write(f">{name}\n{seq}\n")
+    args = types.SimpleNamespace(
+        input=f5dir, ref=ref_path, polya=None, mode=0,
+        saving=os.path.join(str(tmp_path), "out"), thread=1,
+        pore_model=None, radius=40,
+    )
+    results = labeler.run(args)
+    assert results.get("ok") == 2
+    out_files = os.listdir(os.path.join(str(tmp_path), "out", "fast5s"))
+    assert len(out_files) == 2
+    # written labels must be readable by the export pipeline
+    from chiron_tpu.io.labels import get_label_raw
+
+    (raw, label, s, l), _ = get_label_raw(
+        os.path.join(str(tmp_path), "out", "fast5s", out_files[0]),
+        "Corrected_000", "BaseCalled_template",
+    )
+    assert len(label) == 120
