@@ -340,7 +340,14 @@ def _finalize_file(fname: str, windows: dict, flags, times) -> int:
 
 
 def run(flags) -> dict:
-    """Entry point (parity: chiron/chiron_eval.py:525-544)."""
+    """Entry point (parity: chiron/chiron_eval.py:525-544).
+
+    With ``flags.profile`` set, the run is wrapped in a jax.profiler trace
+    written under <output>/profile (the framework's replacement for the
+    reference's absent profiler integration, SURVEY.md §5).
+    """
+    import contextlib
+
     from chiron_tpu.utils.timing import unix_time
 
     print(f"The result will be written to {flags.output}")
@@ -349,7 +356,13 @@ def run(flags) -> dict:
     result = {}
 
     def _run():
-        result.update(evaluation(flags))
+        trace = (
+            jax.profiler.trace(os.path.join(flags.output, "profile"))
+            if getattr(flags, "profile", False)
+            else contextlib.nullcontext()
+        )
+        with trace:
+            result.update(evaluation(flags))
 
     time_dict = unix_time(_run)
     print(

@@ -170,6 +170,27 @@ class Dataset:
 def load_dataset(
     data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10, sig_norm=None
 ) -> Dataset:
+    """Load training segments from .signal/.label pairs OR a .bin folder.
+
+    A folder with a ``data.meta`` descriptor is the fixed-record .bin batch
+    layout (file_batch output, chiron_queue_input's source); anything else
+    is walked for .signal/.label pairs.
+    """
+    if os.path.exists(os.path.join(data_dir, "data.meta")):
+        from chiron_tpu.io.binfmt import read_bin_folder
+
+        events, event_lens, labels, label_lens = read_bin_folder(data_dir)
+        if events.shape[1] != seq_len:
+            raise ValueError(
+                f".bin records have signal_length {events.shape[1]}; "
+                f"--sequence_len {seq_len} must match"
+            )
+        if max_segments:
+            events = events[:max_segments]
+            event_lens = event_lens[:max_segments]
+            labels = labels[:max_segments]
+            label_lens = label_lens[:max_segments]
+        return Dataset(events, event_lens, labels, label_lens)
     arrays = read_raw_data_sets(
         data_dir, seq_length=seq_len, k_mer=k_mer,
         max_segments_num=max_segments, skip_start=skip_start, sig_norm=sig_norm,

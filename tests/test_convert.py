@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chiron_tpu import config as C
+from chiron_tpu.models import apply_model, init_model
+from chiron_tpu.tools.convert_tf_checkpoint import build_name_map, convert
+
+
+def _fake_tf_checkpoint(config, hidden, seed=0):
+    """Synthesise TF-shaped tensors for every mapped variable."""
+    rng = np.random.RandomState(seed)
+    name_map = build_name_map(config)
+    tensors = {}
+    shapes_by_suffix = {}
+    # derive shapes by walking a freshly initialised pytree of ours
+    params = init_model(jax.random.PRNGKey(0), config)
+
+    def get_path(tree, path):
+        node = tree
+        for p in path.split("/"):
+            if p.startswith("["):
+                node = node[int(p[1:-1])]
+            else:
+                node = node[p]
+        return node
+
+    for tf_name, (path, transform) in name_map.items():
+        if transform == "conv":
+            w = np.asarray(get_path(params, path))
+            tensors[tf_name] = rng.randn(1, *w.shape).astype(np.float32) * 0.1
+        elif transform == "lstm_kernel":
+            wx = np.asarray(get_path(params, path + "/wx"))
+            wh = np.asarray(get_path(params, path + "/wh"))
+            tensors[tf_name] = rng.randn(
+                wx.shape[0] + wh.shape[0], wx.shape[1]
+            ).astype(np.float32) * 0.1
+        else:
+            ref = np.asarray(get_path(params, path))
+            tensors[tf_name] = rng.randn(*ref.shape).astype(np.float32) * 0.1
+    return tensors
+
+
+def _tree_shapes(tree):
+    return {
+        "/".join(str(p) for p in path): leaf.shape
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0][:0]
+    }
+
+
+def test_convert_dna_model_produces_runnable_params():
+    config = C.default_config()  # dna_model1 + 3x100 LSTM
+    tensors = _fake_tf_checkpoint(config, hidden=100)
+    params = convert(tensors.__getitem__, config)
+    # converted params must run through the model
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 64), jnp.float32)
+    logits = apply_model(params, config, x, jnp.full((2,), 64, jnp.int32))
+    assert logits.shape == (2, 64, 5)
+    assert bool(jnp.isfinite(logits).all())
+    # structure matches a freshly initialised pytree exactly
+    ref = init_model(jax.random.PRNGKey(0), config)
+    ref_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(ref)}
+    got_paths = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(params)}
+    assert got_paths == ref_paths
+
+
+def test_convert_rna_model():
+    config = C.read_config(None)
+    config["cnn"]["model"] = "rna_model3"
+    config["rnn"]["layer_type"] = "rna"
+    tensors = _fake_tf_checkpoint(config, hidden=100, seed=2)
+    params = convert(tensors.__getitem__, config)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 70), jnp.float32)
+    logits = apply_model(params, config, x, jnp.full((2,), 10, jnp.int32))
+    assert logits.shape == (2, 10, 5)
+
+
+def test_lstm_kernel_split_semantics():
+    # the fused TF kernel rows must split into (input, recurrent) halves
+    config = C.default_config()
+    config["rnn"]["layer_num"] = 1
+    tensors = _fake_tf_checkpoint(config, hidden=100, seed=4)
+    params = convert(tensors.__getitem__, config)
+    kern = tensors[
+        "BDLSTM_rnn/stack_bidirectional_rnn/cell_0/bidirectional_rnn/fw/"
+        "lstm_cell/kernel"
+    ]
+    cell = params["rnn"]["stack"]["layers"][0]["fw"]
+    c_in = kern.shape[0] - 100
+    np.testing.assert_array_equal(np.asarray(cell["wx"]), kern[:c_in])
+    np.testing.assert_array_equal(np.asarray(cell["wh"]), kern[c_in:])

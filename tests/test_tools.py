@@ -161,3 +161,23 @@ def test_labeler_pipeline(tmp_path):
         "Corrected_000", "BaseCalled_template",
     )
     assert len(label) == 120
+
+
+def test_train_from_bin_folder(tmp_path):
+    from chiron_tpu.io.binfmt import write_bin, write_meta
+    from chiron_tpu.train import loop
+
+    rng = np.random.RandomState(7)
+    data = os.path.join(str(tmp_path), "bins")
+    os.makedirs(data)
+    n, L = 32, 64
+    events = [rng.randn(L).astype(np.float32) for _ in range(n)]
+    labels = [list(rng.randint(0, 4, 5)) for _ in range(n)]
+    write_bin(os.path.join(data, "data_batch_1.bin"), events, [L] * n,
+              labels, [5] * n)
+    write_meta(data, L, n, "median", "g", "s", "dna")
+    ds = loop.load_dataset(data, L)
+    assert ds.n == n
+    batch = ds.next_batch(8)
+    assert batch["signal"].shape == (8, L)
+    assert batch["label_len"][0] == 5
