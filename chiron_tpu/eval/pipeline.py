@@ -56,6 +56,32 @@ def path_prob(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(top2[..., 0] - top2[..., 1], axis=-1)
 
 
+def pack_step_outputs(decoded, lengths, score, prob):
+    """Pack the step outputs into ONE uint8 buffer [B, T_out+12].
+
+    Each host readback costs a full synchronous round trip (~27ms through
+    the dev tunnel; a sync point on any transport), so the decoded labels
+    (int8: values in [-1, 3]) and the three per-window scalars are packed
+    into a single array and unpacked host-side by unpack_step_outputs.
+    """
+    b = decoded.shape[0]
+    dec8 = jax.lax.bitcast_convert_type(decoded.astype(jnp.int8), jnp.uint8)
+    len8 = jax.lax.bitcast_convert_type(lengths.astype(jnp.int32), jnp.uint8)
+    sc8 = jax.lax.bitcast_convert_type(score.astype(jnp.float32), jnp.uint8)
+    pr8 = jax.lax.bitcast_convert_type(prob.astype(jnp.float32), jnp.uint8)
+    return jnp.concatenate([dec8, len8, sc8, pr8], axis=1)
+
+
+def unpack_step_outputs(buf: np.ndarray):
+    """Host-side inverse of pack_step_outputs; buf [B, T+12] uint8."""
+    t = buf.shape[1] - 12
+    decoded = buf[:, :t].view(np.int8)
+    lengths = np.ascontiguousarray(buf[:, t:t + 4]).view(np.int32)[:, 0]
+    score = np.ascontiguousarray(buf[:, t + 4:t + 8]).view(np.float32)[:, 0]
+    prob = np.ascontiguousarray(buf[:, t + 8:t + 12]).view(np.float32)[:, 0]
+    return decoded, lengths, score, prob
+
+
 def make_decode_step(config, segment_len: int, beam: int, batch_size: int,
                      n_devices: int = 1):
     """Build (or fetch) the jitted device step for this configuration.
@@ -102,7 +128,7 @@ def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
             decoded, lengths, score = beam_search_decode(
                 logits, seq_len, beam_width=beam
             )
-        return decoded, lengths, score, prob
+        return pack_step_outputs(decoded, lengths, score, prob)
 
     del t_out
     if n_devices > 1:
@@ -252,10 +278,8 @@ def evaluation(flags) -> dict:
 
     def drain_one():
         nonlocal total_bases, total_windows
-        decoded, lengths, score, prob, widx, fnames = inflight.popleft()
-        decoded = np.asarray(decoded)
-        lengths = np.asarray(lengths)
-        prob = np.asarray(prob)
+        packed, widx, fnames = inflight.popleft()
+        decoded, lengths, score, prob = unpack_step_outputs(np.asarray(packed))
         for i in range(len(fnames)):
             if widx[i] < 0:
                 continue
@@ -275,7 +299,7 @@ def evaluation(flags) -> dict:
             counts[fn] = nwin
             timing[fn] = (time.time() - rtime, rtime)  # (start_time, reading)
         out = step_fn(params, jnp.asarray(x), jnp.asarray(sl))
-        inflight.append(out + (widx, fnames))
+        inflight.append((out, widx, fnames))
         if len(inflight) > pipeline_depth:
             drain_one()
     while inflight:

@@ -184,12 +184,8 @@ def beam_search_decode(
     rev_chars = rev_chars.T  # [B, T], chars in reverse emission order (-1 = none)
 
     # front-pack in forward order: forward chars = reverse of rev_chars
+    from chiron_tpu.ops.ctc_greedy import compact_labels
+
     fwd = rev_chars[:, ::-1]
-    keep = fwd >= 0
-    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
-    pos = jnp.cumsum(keep, axis=1) - 1
-    decoded = jnp.full((bsz, t_max), -1, jnp.int32)
-    bidx = jnp.arange(bsz)[:, None].repeat(t_max, axis=1)
-    scatter_pos = jnp.where(keep, pos, t_max)
-    decoded = decoded.at[bidx, scatter_pos].set(fwd, mode="drop")
+    decoded, lengths = compact_labels(fwd, fwd >= 0)
     return decoded, lengths, log_prob

@@ -307,14 +307,10 @@ def beam_search_pallas(
     )(best_b, trace)
 
     # rev[t, b, 0] = char emitted at time T-1-t (-1 = none); forward order:
+    from chiron_tpu.ops.ctc_greedy import compact_labels
+
     fwd = rev[::-1, :, 0].T[:bsz]  # [B, T]
-    keep = fwd >= 0
-    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
-    pos = jnp.cumsum(keep, axis=1) - 1
-    decoded = jnp.full((bsz, t_max), -1, jnp.int32)
-    bidx = jnp.arange(bsz)[:, None].repeat(t_max, axis=1)
-    scatter_pos = jnp.where(keep, pos, t_max)
-    decoded = decoded.at[bidx, scatter_pos].set(fwd, mode="drop")
+    decoded, lengths = compact_labels(fwd, fwd >= 0)
     return decoded, lengths, log_prob[:bsz]
 
 

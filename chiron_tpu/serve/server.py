@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from chiron_tpu import config as C
-from chiron_tpu.eval.pipeline import make_decode_step, path_prob
+from chiron_tpu.eval.pipeline import (make_decode_step, path_prob,
+                                      unpack_step_outputs)
 from chiron_tpu.models import apply_model, init_model, model_ratio
 from chiron_tpu.serve.protocol import pack, read_message
 from chiron_tpu.train.checkpoint import restore_latest
@@ -73,14 +74,15 @@ class InferenceEngine:
                         self.params, jnp.asarray(bx), jnp.asarray(bl)
                     )
                     logits_parts.append(np.asarray(lg)[: len(bx) - pad or None])
-                dec, dlen, score, prob = self._step(
+                packed = self._step(
                     self.params, jnp.asarray(bx), jnp.asarray(bl)
                 )
+            dec, dlen, score, prob = unpack_step_outputs(np.asarray(packed))
             take = self.batch_size - pad
-            out["decoded"].append(np.asarray(dec)[:take])
-            out["decoded_length"].append(np.asarray(dlen)[:take])
-            out["log_prob"].append(np.asarray(score)[:take])
-            out["prob_logits"].append(np.asarray(prob)[:take])
+            out["decoded"].append(dec[:take].astype(np.int32))
+            out["decoded_length"].append(dlen[:take])
+            out["log_prob"].append(score[:take])
+            out["prob_logits"].append(prob[:take])
         result = {k: np.concatenate(v) for k, v in out.items()}
         if want_logits:
             result["logits"] = np.concatenate(logits_parts)
