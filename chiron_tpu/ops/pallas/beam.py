@@ -94,26 +94,45 @@ def _beam_kernel(w_ref, lens_ref, lp_ref, trace_ref,
         ext_h1.append(h1 * _H1_MULT + (c + 1))
         ext_h2.append(h2 * _H2_MULT + (c + 1))
 
-    # ---- merge extends into equal-hash stays (per label, pairwise) -------
-    killed = []
+    # ---- merge extends into equal-hash stays (pairwise, lane-packed) -----
+    # All four labels share one [TB, SEG, 4*SEG] matrix: lane group c holds
+    # the (ext-with-label-c, stay) comparisons. 4*SEG = 128 lanes exactly,
+    # so no lane padding is wasted (a per-label [.., SEG] matrix pads 4x).
+    live_i = live.astype(jnp.int32)  # i1 minor-dim inserts unsupported
+    glane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG, 4 * SEG), 2)
+    cplus1 = glane // SEG + 1                      # label c+1 per lane group
+    h1_stay = jnp.concatenate([h1] * NLAB, axis=1)[:, None, :]   # [TB,1,128]
+    h2_stay = jnp.concatenate([h2] * NLAB, axis=1)[:, None, :]
+    live_stay = jnp.concatenate([live_i] * NLAB, axis=1)[:, None, :]
+    # extend-side quantities in sublane orientation (one relayout each)
+    h1k = (h1 * _H1_MULT)[:, :, None]
+    h2k = (h2 * _H2_MULT)[:, :, None]
+    pb_ins = pb[:, :, None]
+    pon_ins = pb_or_pnb[:, :, None]
+    last_ins = last[:, :, None]
+    lp_lane = jnp.concatenate(
+        [jnp.broadcast_to(lp[:, c:c + 1], (tb, SEG)) for c in range(NLAB)],
+        axis=1,
+    )[:, None, :]                                   # [TB, 1, 128]
+    ext_pnb_m = lp_lane + jnp.where(last_ins == cplus1 - 1, pb_ins, pon_ins)
+    eq = (
+        (h1k + cplus1 == h1_stay)
+        & (h2k + cplus1 == h2_stay)
+        & (ext_pnb_m > _NEG / 2)
+        & (live_i[:, :, None] > 0)
+        & (live_stay > 0)
+    )
+    contrib = jnp.where(eq, ext_pnb_m, _NEG)       # [TB, SEG, 128]
+    m_all = jnp.max(contrib, axis=1)               # [TB, 128] per (c, stay)
+    s_all = jnp.sum(jnp.where(eq, jnp.exp(contrib - m_all[:, None, :]), 0.0), axis=1)
+    merged_all = jnp.where(
+        m_all > _NEG / 2, m_all + jnp.log(jnp.maximum(s_all, 1e-37)), _NEG
+    )
     merged_total = jnp.full((tb, SEG), _NEG)
+    killed = []
     for c in range(NLAB):
-        # eq[b, w_ext, w_stay]: SEG sublanes x SEG lanes... we lay the
-        # pairwise matrix as [TB, SEG, SEG] (stay on lanes).
-        live_i = live.astype(jnp.int32)  # i1 minor-dim inserts unsupported
-        eq = (
-            (ext_h1[c][:, :, None] == h1[:, None, :])
-            & (ext_h2[c][:, :, None] == h2[:, None, :])
-            & (ext_pnb[c][:, :, None] > _NEG / 2)
-            & (live_i[:, :, None] > 0)
-            & (live_i[:, None, :] > 0)
-        )
-        contrib = jnp.where(eq, ext_pnb[c][:, :, None], _NEG)  # [TB,SEG,SEG]
-        m = jnp.max(contrib, axis=1)  # [TB, SEG] per stay
-        s = jnp.sum(jnp.where(eq, jnp.exp(contrib - m[:, None, :]), 0.0), axis=1)
-        merged = jnp.where(m > _NEG / 2, m + jnp.log(jnp.maximum(s, 1e-37)), _NEG)
-        merged_total = _lae(merged_total, merged)
-        killed.append(jnp.any(eq, axis=2))  # [TB, SEG] per extend
+        merged_total = _lae(merged_total, merged_all[:, c * SEG:(c + 1) * SEG])
+        killed.append(jnp.any(eq[:, :, c * SEG:(c + 1) * SEG], axis=2))
     stay_pnb = _lae(stay_pnb, merged_total)
 
     # ---- assemble candidate lanes [TB, CAND_PAD] -------------------------
@@ -138,45 +157,46 @@ def _beam_kernel(w_ref, lens_ref, lp_ref, trace_ref,
     score = _lae(cand_pb, cand_pnb)
 
     cl = jax.lax.broadcasted_iota(jnp.int32, (tb, CAND_PAD), 1)
-    new_pb = pb_s[:]
-    new_pnb = pnb_s[:]
-    new_h1 = h1_s[:]
-    new_h2 = h2_s[:]
-    new_last = last_s[:]
-    parents = jnp.zeros((tb, SEG), jnp.int32)
-    chars = jnp.full((tb, SEG), -1, jnp.int32)
 
-    # ---- unrolled top-k: W iterations of argmax+mask ---------------------
-    # W is static (<= SEG); slots k >= w keep inert values. A slot that
-    # gets no live candidate (all remaining scores are -inf) receives a
-    # FRESH garbage hash — otherwise it would copy candidate 0's hash and a
-    # later merge could resurrect a duplicate prefix.
-    W_MAX = SEG
-    for k in range(W_MAX):
+    # ---- top-k phase 1: collect the k-th argmax indices ------------------
+    # Iterative extract-max is inherently sequential but each iteration is
+    # only ~5 ops; all state gathering is deferred to one vectorized pass.
+    idx_cols = []
+    live_cols = []
+    for k in range(SEG):
         m = jnp.max(score, axis=1, keepdims=True)  # [TB, 1]
         idx = jnp.min(jnp.where(score >= m, cl, CAND_PAD), axis=1, keepdims=True)
-        onehot = cl == idx  # [TB, CAND_PAD]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1) == k
-        picked_live = m > _NEG / 2  # [TB, 1]
+        idx_cols.append(idx)
+        live_cols.append((m > _NEG / 2).astype(jnp.int32))  # i1 concat unsupported
+        score = jnp.where(cl == idx, _NEG, score)
+    idx_all = jnp.concatenate(idx_cols, axis=1)    # [TB, SEG]
+    picked_live = jnp.concatenate(live_cols, axis=1) > 0  # [TB, SEG]
 
-        def pick_f(arr):
-            return jnp.sum(jnp.where(onehot, arr, 0.0), axis=1, keepdims=True)
+    # ---- top-k phase 2: one 3D one-hot gather for all slots --------------
+    # A slot with no live candidate receives a FRESH garbage hash (derived
+    # from (t, k)) — otherwise it would copy candidate 0's hash and a later
+    # merge could resurrect a duplicate prefix.
+    onehot3 = idx_all[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (tb, SEG, CAND_PAD), 2
+    )  # [TB, SEG, CAND_PAD]
 
-        def pick_i(arr):
-            return jnp.sum(jnp.where(onehot, arr, 0), axis=1, keepdims=True)
+    def pick_f(arr):
+        return jnp.sum(jnp.where(onehot3, arr[:, None, :], 0.0), axis=2)
 
-        valid_k = k < w
-        sel = col & valid_k
-        garbage1 = (t * 131 + k) * 7919 + 1000003
-        garbage2 = (t * 131 + k) * 104729 + 666
-        new_pb = jnp.where(sel, jnp.where(picked_live, pick_f(cand_pb), _NEG), new_pb)
-        new_pnb = jnp.where(sel, jnp.where(picked_live, pick_f(cand_pnb), _NEG), new_pnb)
-        new_h1 = jnp.where(sel, jnp.where(picked_live, pick_i(cand_h1), garbage1), new_h1)
-        new_h2 = jnp.where(sel, jnp.where(picked_live, pick_i(cand_h2), garbage2), new_h2)
-        new_last = jnp.where(sel, jnp.where(picked_live, pick_i(cand_last), -1), new_last)
-        parents = jnp.where(sel, jnp.where(picked_live, pick_i(cl % SEG), k), parents)
-        chars = jnp.where(sel, jnp.where(picked_live, pick_i(cl // SEG - 1), -1), chars)
-        score = jnp.where(onehot, _NEG, score)
+    def pick_i(arr):
+        return jnp.sum(jnp.where(onehot3, arr[:, None, :], 0), axis=2)
+
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
+    valid = live & picked_live  # live == (kcol < w)
+    garbage1 = (t * 131 + kcol) * 7919 + 1000003
+    garbage2 = (t * 131 + kcol) * 104729 + 666
+    new_pb = jnp.where(valid, pick_f(cand_pb), _NEG)
+    new_pnb = jnp.where(valid, pick_f(cand_pnb), _NEG)
+    new_h1 = jnp.where(valid, pick_i(cand_h1), garbage1)
+    new_h2 = jnp.where(valid, pick_i(cand_h2), garbage2)
+    new_last = jnp.where(valid, pick_i(cand_last), -1)
+    parents = jnp.where(valid, idx_all % SEG, kcol)
+    chars = jnp.where(valid, idx_all // SEG - 1, -1)
 
     # ---- freeze past each row's length -----------------------------------
     active = lens_ref[:, :1] > t  # [TB, 1]
