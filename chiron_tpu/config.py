@@ -60,6 +60,18 @@ PRESETS: Dict[str, Dict[str, int]] = {
 NUM_CLASSES = 5
 BLANK = 4
 BASES = "ACGT"
+# Extended alphabet for methylation calling (reference marks this "under
+# construction", entry.py/raw.py --mode methylation; base2ind alphabet_n=5)
+BASES_METH = "ACGTX"
+
+
+def class_n(config) -> int:
+    """CTC class count for a model config: alphabet size + blank."""
+    return int(config.get("alphabet", 4)) + 1
+
+
+def alphabet(config) -> str:
+    return BASES_METH[: int(config.get("alphabet", 4))]
 
 
 def default_config() -> Dict[str, Any]:

@@ -111,7 +111,7 @@ def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
 
     from chiron_tpu.models.rnn import _use_pallas
 
-    use_pallas_beam = _use_pallas()
+    use_pallas_beam = _use_pallas() and C.class_n(config) == 5
 
     def step(params, x, seq_len):
         logits = apply_model(params, config, x, seq_len)
@@ -225,6 +225,40 @@ def _batch_stream(
         )
 
 
+def _prefetch(iterator, depth: int = 4):
+    """Run an iterator in a producer thread with a bounded queue.
+
+    The reference overlaps fast5 reading with compute via a producer thread
+    feeding TF queues (chiron_eval.py:304-372); this is the same overlap
+    for the windowed batch stream.
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    _END = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surface producer errors in the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def load_params(model_dir: str, config, seed: int = 0):
     """Restore params from the model dir, or random-init with a warning."""
     params, step = restore_latest(model_dir) if model_dir else (None, None)
@@ -261,6 +295,7 @@ def evaluation(flags) -> dict:
             f"batch_size {flags.batch_size} not divisible by n_devices {n_devices}"
         )
     ratio = model_ratio(config, flags.segment_len)
+    alphabet = C.alphabet(config)
     step_fn = make_decode_step(config, flags.segment_len, flags.beam,
                                flags.batch_size, n_devices)
     params = jax.device_put(params)
@@ -285,7 +320,7 @@ def evaluation(flags) -> dict:
                 continue
             fn = fnames[i]
             n = int(lengths[i])
-            bases = "".join(C.BASES[c] for c in decoded[i, :n])
+            bases = "".join(alphabet[c] for c in decoded[i, :n])
             acc[fn][int(widx[i])] = (bases, float(prob[i]))
             total_windows += 1
         # finalize any complete files
@@ -294,7 +329,9 @@ def evaluation(flags) -> dict:
                 total_bases_f = _finalize_file(fn, acc.pop(fn), flags, timing[fn])
                 total_bases += total_bases_f
 
-    for x, sl, widx, fnames, meta in _batch_stream(file_dir, file_list, flags, ratio):
+    for x, sl, widx, fnames, meta in _prefetch(
+        _batch_stream(file_dir, file_list, flags, ratio)
+    ):
         for fn, (nwin, rtime) in meta.items():
             counts[fn] = nwin
             timing[fn] = (time.time() - rtime, rtime)  # (start_time, reading)

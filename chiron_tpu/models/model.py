@@ -15,7 +15,7 @@ from typing import Any, Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from chiron_tpu.config import NUM_CLASSES
+from chiron_tpu.config import NUM_CLASSES, class_n as _class_n
 from chiron_tpu.models import layers as L
 from chiron_tpu.models import rnn as R
 from chiron_tpu.models.initializers import xavier_normal
@@ -345,15 +345,16 @@ def init_model(key, config: Dict[str, Any], seg_len: int | None = None) -> Param
     cnn_params, c_out, _ = init_fn(k_cnn, 1, config["cnn"])
     params: Params = {"cnn": cnn_params}
     rnn_cfg = config["rnn"]
+    n_class = _class_n(config)
     if rnn_cfg["layer_num"] == 0:
-        params["cnn_logit"] = init_cnn_logit(k_rnn, c_out)
+        params["cnn_logit"] = init_cnn_logit(k_rnn, c_out, n_class)
     else:
         params["rnn"] = R.init_rnn_layers(
             k_rnn,
             c_out,
             rnn_cfg["hidden_num"],
             rnn_cfg["layer_num"],
-            NUM_CLASSES,
+            n_class,
             rnn_cfg["cell_type"],
             rnn_cfg["layer_type"],
         )
@@ -365,6 +366,7 @@ def apply_model(
     config: Dict[str, Any],
     signal: jnp.ndarray,
     seq_len: jnp.ndarray,
+    training: bool = False,
 ) -> jnp.ndarray:
     """Forward pass: raw signal windows -> CTC logits.
 
@@ -389,4 +391,5 @@ def apply_model(
         seq_len,
         rnn_cfg["cell_type"],
         rnn_cfg["layer_type"],
+        training=training,
     )

@@ -192,6 +192,7 @@ def _run_cell(
     x: jnp.ndarray,
     mask: jnp.ndarray,
     lengths: jnp.ndarray,
+    training: bool = False,
 ) -> jnp.ndarray:
     if cell_type == "BNLSTM":
         # recurrent batch norm is batch-stat-coupled per step; stays on the
@@ -210,6 +211,11 @@ def _run_cell(
                 params["wx"], params["wh"], params["b"], hidden
             )
             xw = x @ wx_p + b_p
+            if training:
+                # custom-VJP variant: backward BPTT is a second fused kernel
+                from chiron_tpu.ops.pallas.lstm_grad import lstm_layer_pallas_ad
+
+                return lstm_layer_pallas_ad(xw, wh_p, lengths, hidden, False)
             return lstm_layer_pallas(xw, wh_p, lengths, hidden=hidden)
         xw = x @ params["wx"] + params["b"]
         return _lstm_scan(params, xw, mask)
@@ -277,6 +283,7 @@ def birnn_stack(
     lengths: jnp.ndarray,
     cell_type: str = "LSTM",
     layer_type: str = "normal",
+    training: bool = False,
 ) -> jnp.ndarray:
     """Bidirectional stack. x: [B, T, C] -> [B, T, 2H]."""
     xt = jnp.transpose(x, (1, 0, 2))  # time-major [T, B, C]
@@ -287,15 +294,15 @@ def birnn_stack(
         fw = xt
         bw = reverse_sequence(xt, lengths)
         for layer in params["layers"]:
-            fw = _run_cell(cell_type, layer["fw"], fw, mask, lengths)
-            bw = _run_cell(cell_type, layer["bw"], bw, mask, lengths)
+            fw = _run_cell(cell_type, layer["fw"], fw, mask, lengths, training)
+            bw = _run_cell(cell_type, layer["bw"], bw, mask, lengths, training)
         out = jnp.concatenate([fw, reverse_sequence(bw, lengths)], axis=-1)
     else:
         out = xt
         for layer in params["layers"]:
-            fw = _run_cell(cell_type, layer["fw"], out, mask, lengths)
+            fw = _run_cell(cell_type, layer["fw"], out, mask, lengths, training)
             bw_in = reverse_sequence(out, lengths)
-            bw = _run_cell(cell_type, layer["bw"], bw_in, mask, lengths)
+            bw = _run_cell(cell_type, layer["bw"], bw_in, mask, lengths, training)
             out = jnp.concatenate([fw, reverse_sequence(bw, lengths)], axis=-1)
     return jnp.transpose(out, (1, 0, 2))  # back to [B, T, 2H]
 
@@ -340,6 +347,8 @@ def rnn_layers(
     lengths: jnp.ndarray,
     cell_type: str = "LSTM",
     layer_type: str = "normal",
+    training: bool = False,
 ) -> jnp.ndarray:
-    lasth = birnn_stack(params["stack"], x, lengths, cell_type, layer_type)
+    lasth = birnn_stack(params["stack"], x, lengths, cell_type, layer_type,
+                        training)
     return rnn_head(params["head"], lasth)

@@ -65,6 +65,7 @@ def beam_search_decode(
       log_prob: [B] log probability of the best beam.
     """
     bsz, t_max, nclass = logits.shape
+    blank = nclass - 1  # blank is the last class (TF convention)
     w = beam_width
     nlab = nclass - 1  # non-blank labels
     lp = jax.nn.log_softmax(logits, axis=-1)  # [B, T, C]
@@ -86,7 +87,7 @@ def beam_search_decode(
         p_b, p_nb, h1, h2, last = carry
         lp_cur, t = inp  # lp_cur: [B, C]
 
-        lp_blank = lp_cur[:, BLANK][:, None]  # [B, 1]
+        lp_blank = lp_cur[:, blank][:, None]  # [B, 1]
         # lp at each beam's own last label (repeat emission); -inf for empty
         lp_last = jnp.take_along_axis(
             lp_cur, jnp.clip(last, 0, nlab - 1), axis=1

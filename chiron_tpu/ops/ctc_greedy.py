@@ -29,7 +29,8 @@ def greedy_decode(
       neg_sum_logits: [B] decoder score (sum of max logit over used frames,
         negated — matches the TF greedy decoder's log_probability output).
     """
-    b, t, _ = logits.shape
+    b, t, n_class = logits.shape
+    blank = n_class - 1  # blank is the last class (TF convention)
     classes = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
     max_logits = jnp.max(logits, axis=-1)  # [B, T]
 
@@ -37,7 +38,7 @@ def greedy_decode(
     valid = tidx < seq_lengths[:, None]  # [B, T]
 
     prev = jnp.pad(classes, ((0, 0), (1, 0)), constant_values=-1)[:, :t]
-    keep = valid & (classes != BLANK) & (classes != prev)
+    keep = valid & (classes != blank) & (classes != prev)
     decoded, lengths = compact_labels(classes, keep)
 
     neg_sum = -jnp.sum(jnp.where(valid, max_logits, 0.0), axis=1)

@@ -22,10 +22,10 @@ from chiron_tpu.config import BLANK
 _NEG_INF = -1e30
 
 
-def _expand_labels(labels: jnp.ndarray) -> jnp.ndarray:
+def _expand_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
     """[B, U] -> [B, 2U+1] blank-interleaved: b l0 b l1 ... b lU-1 b."""
     b, u = labels.shape
-    ex = jnp.full((b, 2 * u + 1), BLANK, dtype=labels.dtype)
+    ex = jnp.full((b, 2 * u + 1), blank, dtype=labels.dtype)
     return ex.at[:, 1::2].set(labels)
 
 
@@ -43,17 +43,18 @@ def ctc_loss(
       labels: [B, U] int labels in [0, C-2], padded arbitrarily past length.
       label_lengths: [B] valid labels per example.
     """
-    bsz, t_max, _ = logits.shape
+    bsz, t_max, n_class = logits.shape
+    blank = n_class - 1  # blank is the last class (TF convention)
     u_max = labels.shape[1]
     s = 2 * u_max + 1
 
     lp = jax.nn.log_softmax(logits, axis=-1)  # [B, T, C]
-    ex = _expand_labels(labels.astype(jnp.int32))  # [B, S]
+    ex = _expand_labels(labels.astype(jnp.int32), blank)  # [B, S]
 
     # Transition-allowed mask for the skip (s-2) connection: target must be
     # a non-blank that differs from the label two slots back.
-    ex_prev2 = jnp.pad(ex, ((0, 0), (2, 0)), constant_values=BLANK)[:, :s]
-    skip_ok = (ex != BLANK) & (ex != ex_prev2)  # [B, S]
+    ex_prev2 = jnp.pad(ex, ((0, 0), (2, 0)), constant_values=blank)[:, :s]
+    skip_ok = (ex != blank) & (ex != ex_prev2)  # [B, S]
     skip_add = jnp.where(skip_ok, 0.0, _NEG_INF)
 
     # Emission log-probs per slot per time: gather lp at expanded labels.

@@ -71,7 +71,8 @@ def make_train_step(config: Dict[str, Any], tx, fl_gamma: float):
     """Jitted step: (params, ema, opt_state, batch) -> (..., loss)."""
 
     def loss_fn(params, batch):
-        logits = apply_model(params, config, batch["signal"], batch["seq_len"])
+        logits = apply_model(params, config, batch["signal"], batch["seq_len"],
+                             training=True)
         return ctc_focal_loss(
             logits,
             batch["seq_len"],

@@ -1,0 +1,77 @@
+"""Multi-host file-sharded basecalling, simulated by patching process info.
+
+Each simulated host runs the full pipeline on its file shard; together the
+shards must produce exactly the same set of per-read outputs as one host
+(reads never span hosts, so outputs are bitwise re-runnable per shard).
+"""
+
+import json
+import os
+import types
+
+import numpy as np
+
+from synth import make_fast5_dir
+
+
+def _model(tmp_path):
+    model = os.path.join(str(tmp_path), "model")
+    os.makedirs(model, exist_ok=True)
+    json.dump(
+        {"cnn": {"model": "custom"},
+         "rnn": {"layer_num": 1, "hidden_num": 8, "cell_type": "LSTM",
+                 "layer_type": "normal"},
+         "opt_method": "Adam", "fl_gamma": 0},
+        open(os.path.join(model, "model.json"), "w"),
+    )
+    return model
+
+
+def _flags(tmp_path, out_name, **kw):
+    f = types.SimpleNamespace(
+        input=os.path.join(str(tmp_path), "fast5"),
+        output=os.path.join(str(tmp_path), out_name),
+        model=_model(tmp_path),
+        start=0, batch_size=8, segment_len=100, jump=95, threads=0, beam=0,
+        extension="fastq", concise=False, mode="dna", reverse_fast5=False,
+        recursive=True,
+    )
+    for k, v in kw.items():
+        setattr(f, k, v)
+    return f
+
+
+def test_two_host_shards_cover_all_reads(tmp_path, monkeypatch):
+    import jax
+
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=6,
+                   n_bases=60, seed=0)
+
+    # single-host run: ground truth outputs
+    flags = _flags(tmp_path, "out_single")
+    pipeline.run(flags)
+    single = {}
+    for f in os.listdir(os.path.join(flags.output, "result")):
+        single[f] = open(os.path.join(flags.output, "result", f)).read()
+    assert len(single) == 6
+
+    # two simulated hosts
+    combined = {}
+    for rank in (0, 1):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        flags_r = _flags(tmp_path, f"out_rank{rank}")
+        pipeline.run(flags_r)
+        for f in os.listdir(os.path.join(flags_r.output, "result")):
+            assert f not in combined, "read appeared on two hosts"
+            combined[f] = open(
+                os.path.join(flags_r.output, "result", f)
+            ).read()
+    monkeypatch.undo()
+    assert set(combined) == set(single)
+    # per-read fastq content identical to the single-host run (bases+quals;
+    # the meta timing lines legitimately differ)
+    for name in single:
+        assert combined[name] == single[name]

@@ -181,3 +181,34 @@ def test_train_from_bin_folder(tmp_path):
     batch = ds.next_batch(8)
     assert batch["signal"].shape == (8, L)
     assert batch["label_len"][0] == 5
+
+
+def test_methylation_alphabet_model():
+    # 5-letter alphabet (ACGTX) -> 6 CTC classes; loss/greedy/beam must all
+    # handle the wider class count (reference marks methylation calling
+    # "under construction"; this completes the plumbing).
+    from chiron_tpu import config as C
+    from chiron_tpu.models import apply_model, init_model
+    from chiron_tpu.ops.ctc_greedy import greedy_decode
+    from chiron_tpu.ops.ctc_beam import beam_search_decode
+    from chiron_tpu.ops.ctc_loss import ctc_loss
+
+    cfg = C.default_config()
+    cfg["alphabet"] = 5
+    cfg["cnn"] = {"model": "custom"}
+    cfg["rnn"] = {"layer_num": 1, "hidden_num": 8, "cell_type": "LSTM",
+                  "layer_type": "normal"}
+    assert C.class_n(cfg) == 6
+    assert C.alphabet(cfg) == "ACGTX"
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 24))
+    sl = jnp.full((3,), 24, jnp.int32)
+    logits = apply_model(params, cfg, x, sl)
+    assert logits.shape == (3, 24, 6)
+    dec, lens, _ = greedy_decode(logits, sl)
+    assert np.all(np.asarray(dec)[np.asarray(dec) >= 0] <= 4)  # X = class 4
+    bdec, blens, _ = beam_search_decode(logits, sl, beam_width=4)
+    assert bdec.shape == (3, 24)
+    labels = jnp.asarray([[0, 4, 2], [1, 1, 3], [4, 4, 4]])
+    loss = ctc_loss(logits, sl, labels, jnp.asarray([3, 3, 3]))
+    assert np.all(np.isfinite(np.asarray(loss)))
