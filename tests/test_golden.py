@@ -1,0 +1,43 @@
+"""Golden regression test against the bundled example data.
+
+The repo ships synthetic example fast5 reads plus committed basecall
+outputs from the bundled DNA_default model (mirroring the reference's
+example_data golden vectors, SURVEY.md §4). Re-running the pipeline on CPU
+with the same flags must reproduce the committed fastq byte-for-byte
+(global-BN makes outputs batch-composition-dependent, so the flags pin the
+batch size).
+"""
+
+import os
+import types
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLE = os.path.join(REPO, "chiron_tpu", "example_data", "DNA")
+MODEL = os.path.join(REPO, "chiron_tpu", "model", "DNA_default")
+
+
+@pytest.mark.skipif(not os.path.isdir(EXAMPLE), reason="example data absent")
+def test_bundled_example_reproduces_golden(tmp_path):
+    from chiron_tpu.eval import pipeline
+
+    out = os.path.join(str(tmp_path), "out")
+    flags = types.SimpleNamespace(
+        input=EXAMPLE, output=out, model=MODEL,
+        start=0, batch_size=16, segment_len=400, jump=390, threads=0,
+        beam=0, extension="fastq", concise=False, mode="dna",
+        reverse_fast5=False, recursive=False, sig_norm=1,
+    )
+    result = pipeline.run(flags)
+    assert result["n_files"] == 3
+    golden_dir = os.path.join(EXAMPLE, "output", "result")
+    for f in sorted(os.listdir(golden_dir)):
+        golden = open(os.path.join(golden_dir, f)).read()
+        fresh = open(os.path.join(out, "result", f)).read()
+        assert fresh == golden, f"golden mismatch for {f}"
+    seg_dir = os.path.join(EXAMPLE, "output", "segments")
+    for f in sorted(os.listdir(seg_dir)):
+        golden = open(os.path.join(seg_dir, f)).read()
+        fresh = open(os.path.join(out, "segments", f)).read()
+        assert fresh == golden, f"segments golden mismatch for {f}"
