@@ -23,8 +23,7 @@ from __future__ import annotations
 import os
 import time
 from collections import defaultdict, deque
-from functools import partial
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ chiron/utils/lstm.py). Key differences from a naive port:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

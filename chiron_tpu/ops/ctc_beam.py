@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from chiron_tpu.config import BLANK, NUM_CLASSES
 
 _NEG_INF = -1e30
 _H1_MULT = np.uint32(2654435761)  # Knuth multiplicative hash

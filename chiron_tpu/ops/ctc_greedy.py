@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from chiron_tpu.config import BLANK
 
 
 def greedy_decode(

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from chiron_tpu.config import BLANK
 
 _NEG_INF = -1e30
 

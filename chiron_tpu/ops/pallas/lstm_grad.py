@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chiron_tpu.ops.pallas.lstm import LANE, _FORGET_BIAS, _round_up
+from chiron_tpu.ops.pallas.lstm import LANE, _FORGET_BIAS
 
 
 def _fwd_kernel(lens_ref, xw_ref, wh_ref, out_ref, gates_ref, cc_ref, hc_ref,

@@ -20,14 +20,12 @@ TPU-native mechanisms:
 from __future__ import annotations
 
 import hashlib
-import os
 from typing import List
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from chiron_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from chiron_tpu.parallel.mesh import DATA_AXIS
 
 
 def shard_files(file_list: List[str], num_shards: int, shard_index: int) -> List[str]:
@@ -45,8 +43,6 @@ def make_sharded_decode_step(step_fn, mesh: Mesh):
 
     Every output of ``step_fn`` must have a leading batch axis.
     """
-    import functools
-
     sharded = jax.shard_map(
         step_fn,
         mesh=mesh,

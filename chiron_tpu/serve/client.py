@@ -14,8 +14,6 @@ import os
 import socket
 import threading
 import time
-import types
-from collections import defaultdict
 from typing import Dict, Tuple
 
 import numpy as np

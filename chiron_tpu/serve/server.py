@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-import queue
-import socket
 import socketserver
 import threading
 from typing import Optional
@@ -24,8 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from chiron_tpu import config as C
-from chiron_tpu.eval.pipeline import (make_decode_step, path_prob,
-                                      unpack_step_outputs)
+from chiron_tpu.eval.pipeline import make_decode_step, unpack_step_outputs
 from chiron_tpu.models import apply_model, init_model, model_ratio
 from chiron_tpu.serve.protocol import pack, read_message
 from chiron_tpu.train.checkpoint import restore_latest

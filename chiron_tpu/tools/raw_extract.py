@@ -12,8 +12,6 @@ import logging
 import os
 from collections import Counter
 
-import numpy as np
-
 from chiron_tpu.io.fast5 import rescale_to_pa
 from chiron_tpu.io.labels import get_label_raw
 
