@@ -120,3 +120,21 @@ def test_greedy_decode_full_row():
     decoded, lengths, _ = greedy_decode(jnp.asarray(logits), jnp.asarray([4]))
     assert int(lengths[0]) == 4
     np.testing.assert_array_equal(np.asarray(decoded)[0], [0, 1, 2, 3])
+
+
+def test_ctc_loss_matches_optax():
+    # independent implementation cross-check (optax uses blank=0; remap)
+    import optax
+
+    rng = np.random.RandomState(11)
+    b, t, u = 4, 20, 8
+    logits = jnp.asarray(rng.randn(b, t, 5), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 4, (b, u)), jnp.int32)
+    ll = jnp.asarray([8, 5, 3, 1])
+    tl = jnp.asarray([20, 18, 20, 9])
+    ours = ctc_loss(logits, tl, labels, ll)
+    logits_o = jnp.concatenate([logits[..., 4:5], logits[..., :4]], axis=-1)
+    logit_pad = (jnp.arange(t)[None, :] >= tl[:, None]).astype(jnp.float32)
+    label_pad = (jnp.arange(u)[None, :] >= ll[:, None]).astype(jnp.float32)
+    theirs = optax.ctc_loss(logits_o, logit_pad, labels + 1, label_pad)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), rtol=1e-4)
