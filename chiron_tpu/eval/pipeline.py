@@ -182,14 +182,22 @@ def _batch_stream(
     meta = {}
     for name in file_list:
         t0 = time.time()
-        windows, lengths = read_signal_for_eval(
-            os.path.join(file_dir, name),
-            flags.start,
-            step=flags.jump,
-            seg_length=seg,
-            normalize=getattr(flags, "sig_norm", None),
-            reverse_fast5=flags.reverse_fast5,
-        )
+        try:
+            windows, lengths = read_signal_for_eval(
+                os.path.join(file_dir, name),
+                flags.start,
+                step=flags.jump,
+                seg_length=seg,
+                normalize=getattr(flags, "sig_norm", None),
+                reverse_fast5=flags.reverse_fast5,
+            )
+        except Exception as e:
+            # per-file fault tolerance: a corrupt fast5 must not abort the
+            # run (the reference's extraction stage has the same policy,
+            # utils/raw.py:48-83; its eval stage would crash here)
+            print(f"WARNING: skipping unreadable input {name}: {e}")
+            meta[name] = (0, time.time() - t0)
+            continue
         meta[name] = (len(windows), time.time() - t0)
         buf_x = np.concatenate([buf_x, windows], axis=0)
         buf_len = np.concatenate([buf_len, lengths])

@@ -111,3 +111,65 @@ def test_cli_call_on_fast5_dir(tmp_path):
     assert any(
         f.endswith(".fastq") for f in os.listdir(os.path.join(out, "result"))
     )
+
+
+def test_corrupt_file_is_skipped(tmp_path):
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=2, n_bases=60, seed=9)
+    # a corrupt fast5 alongside the good ones
+    open(os.path.join(str(tmp_path), "fast5", "broken.fast5"), "wb").write(b"not hdf5")
+    flags = _flags(tmp_path, batch_size=8)
+    _make_model_dir(flags.model)
+    result = pipeline.run(flags)
+    fastqs = sorted(os.listdir(os.path.join(flags.output, "result")))
+    assert fastqs == ["synth0.fastq", "synth1.fastq"]
+
+
+def test_concurrent_serving_clients(tmp_path):
+    import threading
+
+    import numpy as np
+
+    from chiron_tpu import config as C
+    from chiron_tpu.models import init_model
+    from chiron_tpu.train.checkpoint import save_checkpoint
+    from chiron_tpu.serve.export import export_model
+    from chiron_tpu.serve.server import serve
+    from chiron_tpu.serve.client import PredictionClient
+    import jax
+
+    model_dir = os.path.join(str(tmp_path), "model")
+    cfg = C.default_config()
+    cfg["cnn"] = {"model": "custom"}
+    cfg["rnn"] = {"layer_num": 1, "hidden_num": 8, "cell_type": "LSTM",
+                  "layer_type": "normal"}
+    os.makedirs(model_dir)
+    C.save_config(os.path.join(model_dir, "model.json"), cfg)
+    save_checkpoint(model_dir, init_model(jax.random.PRNGKey(0), cfg), 1)
+    bundle = export_model(model_dir, os.path.join(str(tmp_path), "exp"),
+                          segment_len=32, beam=0)
+    server = serve(bundle, port=0, batch_size=4, block=False)
+    port = server.server_address[1]
+    errors = []
+
+    def worker(seed):
+        try:
+            client = PredictionClient(port=port)
+            rng = np.random.RandomState(seed)
+            for req in range(3):
+                x = rng.randn(6, 32).astype(np.float32)
+                r = client.predict(x, np.full(6, 32, np.int32), request_id=seed * 10 + req)
+                assert r["decoded"].shape[0] == 6
+                assert int(r["request_id"]) == seed * 10 + req
+            client.close()
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.shutdown()
+    assert not errors, errors
