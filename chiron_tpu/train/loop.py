@@ -254,6 +254,8 @@ def train(hparams) -> Dict[str, Any]:
     step_fn = make_train_step(config, tx, float(config.get("fl_gamma", 0)))
     eval_fn = make_eval_step(config)
 
+    metrics_path = os.path.join(model_dir, "metrics.jsonl")
+    lr_schedule = make_lr_schedule(hparams.step_rate, hparams.max_steps)
     save_every = int(getattr(hparams, "save_every", 10))
     resample_every = int(getattr(hparams, "resample_after_epoch", 0) or 0)
     offset_inc = int(getattr(hparams, "offset_increment", 3))
@@ -300,6 +302,16 @@ def train(hparams) -> Dict[str, Any]:
             if err is not None:
                 msg += f" valid_edit_dist {err:.4f}"
             print(msg)
+            # metrics stream (the reference's TensorBoard scalars analog,
+            # chiron_model.py:73,131): one JSON object per evaluation point
+            with open(metrics_path, "a") as mf:
+                mf.write(json.dumps({
+                    "step": i + 1,
+                    "loss": last_loss,
+                    "learning_rate": float(lr_schedule(i + 1)),
+                    "valid_edit_distance": err,
+                    "seconds_per_step": dt / save_every,
+                }) + "\n")
             t0 = time.time()
     # final checkpoint includes the EMA weights separately
     save_checkpoint(model_dir, ema_params, hparams.max_steps, prefix="ema")

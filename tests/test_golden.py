@@ -41,3 +41,29 @@ def test_bundled_example_reproduces_golden(tmp_path):
         golden = open(os.path.join(seg_dir, f)).read()
         fresh = open(os.path.join(out, "segments", f)).read()
         assert fresh == golden, f"segments golden mismatch for {f}"
+
+
+EXAMPLE_RNA = os.path.join(REPO, "chiron_tpu", "example_data", "RNA")
+MODEL_RNA = os.path.join(REPO, "chiron_tpu", "model", "RNA_default")
+
+
+@pytest.mark.skipif(not os.path.isdir(EXAMPLE_RNA), reason="example data absent")
+def test_bundled_rna_example_reproduces_golden(tmp_path):
+    from chiron_tpu.eval import pipeline
+
+    out = os.path.join(str(tmp_path), "out")
+    flags = types.SimpleNamespace(
+        input=EXAMPLE_RNA, output=out, model=MODEL_RNA,
+        start=0, batch_size=4, segment_len=2000, jump=1900, threads=0,
+        beam=0, extension="fastq", concise=False, mode="rna",
+        reverse_fast5=True, recursive=False, sig_norm=1,
+    )
+    result = pipeline.run(flags)
+    assert result["n_files"] == 2
+    golden_dir = os.path.join(EXAMPLE_RNA, "output", "result")
+    for f in sorted(os.listdir(golden_dir)):
+        golden = open(os.path.join(golden_dir, f)).read()
+        fresh = open(os.path.join(out, "result", f)).read()
+        assert fresh == golden, f"RNA golden mismatch for {f}"
+        # RNA mode parity: U, never T
+        assert "T" not in golden.splitlines()[1]

@@ -129,3 +129,20 @@ def test_edit_distance():
     assert edit_distance([0, 1, 2], [0, 2]) == 1
     assert edit_distance([], [1, 2]) == 2
     assert edit_distance([0, 1], [1, 0]) == 2
+
+
+def test_training_writes_metrics_jsonl(tmp_path):
+    import json
+
+    from chiron_tpu.train import loop
+
+    make_training_dir(os.path.join(str(tmp_path), "train"), n_files=2,
+                      n_bases=150, seed=5)
+    h = _hparams(tmp_path, configure=_tiny_config(tmp_path), max_steps=20,
+                 save_every=10)
+    result = loop.train(h)
+    path = os.path.join(result["model_dir"], "metrics.jsonl")
+    assert os.path.exists(path)
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == 2
+    assert {"step", "loss", "learning_rate", "seconds_per_step"} <= set(rows[0])
