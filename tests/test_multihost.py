@@ -75,3 +75,46 @@ def test_two_host_shards_cover_all_reads(tmp_path, monkeypatch):
     # the meta timing lines legitimately differ)
     for name in single:
         assert combined[name] == single[name]
+
+
+def test_real_two_process_jax_distributed(tmp_path):
+    """Spawn two actual processes with jax.distributed.initialize and check
+    process discovery + disjoint file sharding (BASELINE config 5 plumbing)."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    code = (
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"jax.distributed.initialize(coordinator_address='127.0.0.1:{port}',\n"
+        "                           num_processes=2, process_id=int(sys.argv[1]))\n"
+        "from chiron_tpu.parallel.dist import shard_files\n"
+        "files = [f'r{i}.fast5' for i in range(10)]\n"
+        "mine = shard_files(files, jax.process_count(), jax.process_index())\n"
+        "print('SHARD', jax.process_index(), ','.join(sorted(mine)))\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=repo,
+        )
+        for i in range(2)
+    ]
+    shards = {}
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        assert p.returncode == 0, out.decode()
+        for line in out.decode().splitlines():
+            if line.startswith("SHARD"):
+                _, rank, names = line.split(" ", 2)
+                shards[int(rank)] = set(names.split(","))
+    assert set(shards) == {0, 1}
+    assert shards[0] & shards[1] == set()
+    assert len(shards[0] | shards[1]) == 10
