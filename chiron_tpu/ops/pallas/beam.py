@@ -49,11 +49,11 @@ def _lae(a, b):
     return jnp.where(mx <= _NEG / 2, _NEG, mx + jnp.log1p(jnp.exp(mn - mx)))
 
 
-def _beam_kernel(w_ref, lens_ref, lp_ref, trace_ref,
+def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s):
+    # w is a STATIC python int (beam width baked into the program)
     t = pl.program_id(1)
     tb = pb_s.shape[0]
-    w = w_ref[0, 0]  # beam width (scalar)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
     live = lane < w  # [TB, SEG] valid beam slots
 
@@ -161,14 +161,18 @@ def _beam_kernel(w_ref, lens_ref, lp_ref, trace_ref,
     # ---- top-k phase 1: collect the k-th argmax indices ------------------
     # Iterative extract-max is inherently sequential but each iteration is
     # only ~5 ops; all state gathering is deferred to one vectorized pass.
+    # w is static, so exactly w iterations are emitted.
     idx_cols = []
     live_cols = []
-    for k in range(SEG):
+    for k in range(w):
         m = jnp.max(score, axis=1, keepdims=True)  # [TB, 1]
         idx = jnp.min(jnp.where(score >= m, cl, CAND_PAD), axis=1, keepdims=True)
         idx_cols.append(idx)
         live_cols.append((m > _NEG / 2).astype(jnp.int32))  # i1 concat unsupported
         score = jnp.where(cl == idx, _NEG, score)
+    if w < SEG:  # inert tail slots
+        idx_cols.append(jnp.zeros((tb, SEG - w), jnp.int32))
+        live_cols.append(jnp.zeros((tb, SEG - w), jnp.int32))
     idx_all = jnp.concatenate(idx_cols, axis=1)    # [TB, SEG]
     picked_live = jnp.concatenate(live_cols, axis=1) > 0  # [TB, SEG]
 
@@ -217,8 +221,17 @@ def _final_kernel(pb_ref, pnb_ref, score_ref):
     score_ref[:] = _lae(pb_ref[:], pnb_ref[:])
 
 
+TRACE_CHUNK = 16
+
+
 def _traceback_kernel(best_ref, trace_in_ref, out_ref, w_scr):
-    t = pl.program_id(1)  # 0..T-1, mapped to time T-1-t by the index map
+    """Follow the best beam's parent chain, TRACE_CHUNK steps per grid step.
+
+    The per-step work is a handful of tiny selects, so the grid is chunked
+    along time to amortise grid-iteration overhead (4x fewer steps ~= 4x
+    faster end-to-end traceback).
+    """
+    t = pl.program_id(1)  # chunk index; chunk covers reverse-time order
     tb = w_scr.shape[0]
 
     @pl.when(t == 0)
@@ -227,13 +240,15 @@ def _traceback_kernel(best_ref, trace_in_ref, out_ref, w_scr):
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
     wcur = w_scr[:, :1]  # [TB, 1] current beam per row
-    onehot = lane == wcur
-    packed = trace_in_ref[0]  # [TB, SEG]: (char+1)*SEG + parent
-    v = jnp.sum(jnp.where(onehot, packed, 0), axis=1, keepdims=True)
-    c = v // SEG - 1
-    p = v % SEG
-    out_ref[0] = jnp.broadcast_to(c, (tb, SEG))
-    w_scr[:] = jnp.broadcast_to(p, (tb, SEG))
+    # the input block holds TRACE_CHUNK steps in FORWARD time order; walk
+    # them backwards (the index map already reversed the chunk order)
+    for j in range(TRACE_CHUNK - 1, -1, -1):
+        onehot = lane == wcur
+        packed = trace_in_ref[j]  # [TB, SEG]: (char+1)*SEG + parent
+        v = jnp.sum(jnp.where(onehot, packed, 0), axis=1, keepdims=True)
+        out_ref[j] = jnp.broadcast_to(v // SEG - 1, (tb, SEG))
+        wcur = v % SEG
+    w_scr[:] = jnp.broadcast_to(wcur, (tb, SEG))
 
 
 @functools.partial(
@@ -262,13 +277,11 @@ def beam_search_pallas(
     lens_b = jnp.broadcast_to(lens[:, None], (bp, 128))
 
     n_tiles = bp // batch_tile
-    wq = jnp.full((1, 1), beam_width, jnp.int32)
 
     (pb, pnb, trace) = pl.pallas_call(
-        _beam_wrapper,
+        functools.partial(_beam_wrapper, beam_width),
         grid=(n_tiles, t_max),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((batch_tile, 128), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, batch_tile, 8), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         ],
@@ -293,7 +306,7 @@ def beam_search_pallas(
             pltpu.VMEM((batch_tile, SEG), jnp.int32),
         ],
         interpret=interpret,
-    )(wq, lens_b, lp)
+    )(lens_b, lp)
 
     final_score = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (bp, SEG), 1) < beam_width,
@@ -304,21 +317,31 @@ def beam_search_pallas(
     log_prob = jnp.take_along_axis(final_score, best[:, None], axis=1)[:, 0]
 
     best_b = jnp.broadcast_to(best[:, None], (bp, SEG))
+    # pad time to a multiple of TRACE_CHUNK with no-op records
+    # (char -1, parent identity) so chunked traceback stays exact
+    tc = TRACE_CHUNK
+    t_pad = -(-t_max // tc) * tc
+    if t_pad != t_max:
+        wlane = jax.lax.broadcasted_iota(jnp.int32, (t_pad - t_max, bp, SEG), 2)
+        noop = (0) * SEG + wlane  # (char=-1 +1)*SEG + parent=w  == w
+        trace = jnp.concatenate([trace, noop], axis=0)
+    n_chunks = t_pad // tc
     rev = pl.pallas_call(
         _traceback_kernel,
-        grid=(n_tiles, t_max),
+        grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((batch_tile, SEG), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, batch_tile, SEG),
-                lambda b, t: (t_max - 1 - t, b, 0),
+                (tc, batch_tile, SEG),
+                lambda b, t: (n_chunks - 1 - t, b, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, batch_tile, SEG), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
+            (tc, batch_tile, SEG), lambda b, t: (n_chunks - 1 - t, b, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((t_max, bp, SEG), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, bp, SEG), jnp.int32),
         scratch_shapes=[pltpu.VMEM((batch_tile, SEG), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -326,17 +349,18 @@ def beam_search_pallas(
         interpret=interpret,
     )(best_b, trace)
 
-    # rev[t, b, 0] = char emitted at time T-1-t (-1 = none); forward order:
+    # rev[t, b, 0] = char emitted at time t (already forward order; padded
+    # tail steps emitted -1)
     from chiron_tpu.ops.ctc_greedy import compact_labels
 
-    fwd = rev[::-1, :, 0].T[:bsz]  # [B, T]
+    fwd = rev[:t_max, :, 0].T[:bsz]  # [B, T]
     decoded, lengths = compact_labels(fwd, fwd >= 0)
     return decoded, lengths, log_prob[:bsz]
 
 
-def _beam_wrapper(w_ref, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
+def _beam_wrapper(w, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
                   pb_s, pnb_s, h1_s, h2_s, last_s):
-    _beam_kernel(w_ref, lens_ref, lp_ref, trace_ref,
+    _beam_kernel(w, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]
