@@ -173,3 +173,32 @@ def test_concurrent_serving_clients(tmp_path):
         t.join()
     server.shutdown()
     assert not errors, errors
+
+
+def test_tiny_and_empty_reads(tmp_path):
+    # a read shorter than one window, plus an empty .signal file
+    from chiron_tpu.eval import pipeline
+
+    sigdir = os.path.join(str(tmp_path), "sigs")
+    os.makedirs(sigdir)
+    open(os.path.join(sigdir, "tiny.signal"), "w").write(
+        "\n".join(str(100 + i) for i in range(25))
+    )
+    open(os.path.join(sigdir, "empty.signal"), "w").write("")
+    flags = _flags(tmp_path, batch_size=4)
+    flags.input = sigdir
+    _make_model_dir(flags.model)
+    result = pipeline.run(flags)
+    # tiny read produces one (partial) window and a result file
+    assert os.path.exists(os.path.join(flags.output, "result", "tiny.fastq"))
+
+
+def test_start_offset_flag(tmp_path):
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=1,
+                   n_bases=100, seed=4)
+    flags = _flags(tmp_path, start=200, batch_size=4)
+    _make_model_dir(flags.model)
+    result = pipeline.run(flags)
+    assert result["n_files"] == 1
