@@ -194,9 +194,10 @@ def _batch_stream(
         except Exception as e:
             # per-file fault tolerance: a corrupt fast5 must not abort the
             # run (the reference's extraction stage has the same policy,
-            # utils/raw.py:48-83; its eval stage would crash here)
+            # utils/raw.py:48-83; its eval stage would crash here).
+            # -1 window count marks "unreadable" (vs 0 = genuinely empty).
             print(f"WARNING: skipping unreadable input {name}: {e}")
-            meta[name] = (0, time.time() - t0)
+            meta[name] = (-1, time.time() - t0)
             continue
         meta[name] = (len(windows), time.time() - t0)
         buf_x = np.concatenate([buf_x, windows], axis=0)
@@ -348,9 +349,12 @@ def evaluation(flags) -> dict:
             drain_one()
     while inflight:
         drain_one()
-    # files with zero windows still need (empty) output
+    # genuinely empty inputs still get (empty) output files, like the
+    # reference; unreadable inputs (count -1) are skipped entirely
     for fn in done_order:
-        if fn in acc and counts.get(fn, -1) == len(acc[fn]):
+        if counts.get(fn) == 0 and fn not in acc:
+            total_bases += _finalize_file(fn, {}, flags, timing[fn])
+        elif fn in acc and counts.get(fn, -1) == len(acc[fn]):
             total_bases += _finalize_file(fn, acc.pop(fn), flags, timing[fn])
     return {
         "n_files": len(file_list),

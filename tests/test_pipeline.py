@@ -191,6 +191,8 @@ def test_tiny_and_empty_reads(tmp_path):
     result = pipeline.run(flags)
     # tiny read produces one (partial) window and a result file
     assert os.path.exists(os.path.join(flags.output, "result", "tiny.fastq"))
+    # genuinely empty file still gets an (empty) output, reference-style
+    assert os.path.exists(os.path.join(flags.output, "result", "empty.fastq"))
 
 
 def test_start_offset_flag(tmp_path):
