@@ -10,11 +10,21 @@ kernels run the whole search in TWO pallas programs:
   registers/VMEM, with beam state persisting in VMEM scratch across the
   time axis. Emits per-step (parent, char) traceback records.
 * ``_traceback_kernel``: grid (batch_tiles, T) in reverse time order,
-  following the best beam's parent chain with one-hot lane selects.
+  following the best beam's parent chain with one-hot sublane selects.
 
-Candidate layout per batch row (256 lanes): lanes [0,32) hold the W stay
-candidates; lanes [32*(c+1), 32*(c+2)) hold extend-with-label-c candidates.
-Lane arithmetic (lane//32, lane%32) recovers (char, parent) after top-k.
+Layout (the key to VPU efficiency): BATCH rides the 128-wide LANE axis and
+beams/candidates ride the SUBLANE axis. TPU vregs are (8 sublanes x 128
+lanes); a [W=32, TB=128] state array packs vregs exactly, whereas the
+transposed [TB, 32] form pads 32 lanes up to 128 and wastes 3/4 of every
+VPU op. The candidate axis only needs sublane granularity (multiple of 8),
+so the pool is exactly CAND=160 rows — no padding to 256 lanes — and all
+cross-candidate reductions (top-k max, merge sums, one-hot gathers) are
+cheap sublane trees instead of lane shuffles.
+
+Candidate layout per lane (batch element): sublanes [0,32) hold the W stay
+candidates; sublanes [32*(c+1), 32*(c+2)) hold extend-with-label-c
+candidates. Row arithmetic (row//32, row%32) recovers (char, parent) after
+top-k.
 
 Semantics are identical to ops/ctc_beam.py (same scoring, same rolling-hash
 merge, ties broken toward the lowest candidate index).
@@ -36,10 +46,9 @@ _NEG = -1e30
 _H1_MULT = np.int32(-1640531535)  # 2654435761 as int32 (same bits)
 _H2_MULT = np.int32(0x01000193)
 NLAB = 4  # non-blank labels
-SEG = 32  # candidate segment width (>= W)
+SEG = 32  # candidate segment height (>= W)
 NSEG = NLAB + 1
-CAND = SEG * NSEG  # 160 -> padded to 256 lanes
-CAND_PAD = 256
+CAND = SEG * NSEG  # 160 sublane rows (already a multiple of 8)
 
 
 def _lae(a, b):
@@ -53,17 +62,17 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s):
     # w is a STATIC python int (beam width baked into the program)
     t = pl.program_id(1)
-    tb = pb_s.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
-    live = lane < w  # [TB, SEG] valid beam slots
+    tb = pb_s.shape[1]  # lane width = batch tile
+    row = jax.lax.broadcasted_iota(jnp.int32, (SEG, tb), 0)
+    live = row < w  # [SEG, TB] valid beam slots
 
     @pl.when(t == 0)
     def _():
-        pb_s[:] = jnp.where(lane == 0, 0.0, _NEG)
-        pnb_s[:] = jnp.full((tb, SEG), _NEG)
-        h1_s[:] = jnp.where(lane == 0, 1, lane * 7919 + 3)
-        h2_s[:] = jnp.where(lane == 0, 1, lane * 104729 + 5)
-        last_s[:] = jnp.full((tb, SEG), -1, jnp.int32)
+        pb_s[:] = jnp.where(row == 0, 0.0, _NEG)
+        pnb_s[:] = jnp.full((SEG, tb), _NEG)
+        h1_s[:] = jnp.where(row == 0, 1, row * 7919 + 3)
+        h2_s[:] = jnp.where(row == 0, 1, row * 104729 + 5)
+        last_s[:] = jnp.full((SEG, tb), -1, jnp.int32)
 
     pb = pb_s[:]
     pnb = pnb_s[:]
@@ -71,12 +80,12 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     h2 = h2_s[:]
     last = last_s[:]
 
-    lp = lp_ref[0]  # [TB, 8] (5 classes padded to 8 lanes)
-    lp_blank = lp[:, BLANK:BLANK + 1]  # [TB, 1]
+    lp = lp_ref[0]  # [8, TB] (5 classes padded to 8 sublanes)
+    lp_blank = lp[BLANK:BLANK + 1]  # [1, TB]
     # lp at each beam's last label via 4-way select (no gathers on TPU)
-    lp_last = jnp.full((tb, SEG), 0.0)
+    lp_last = jnp.full((SEG, tb), 0.0)
     for c in range(NLAB):
-        lp_last = jnp.where(last == c, lp[:, c:c + 1], lp_last)
+        lp_last = jnp.where(last == c, lp[c:c + 1], lp_last)
 
     pb_or_pnb = _lae(pb, pnb)
     stay_pb = pb_or_pnb + lp_blank
@@ -89,136 +98,126 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     ext_h2 = []
     for c in range(NLAB):
         base = jnp.where(last == c, pb, pb_or_pnb)
-        e = lp[:, c:c + 1] + base
+        e = lp[c:c + 1] + base
         ext_pnb.append(jnp.where(live, e, _NEG))
         ext_h1.append(h1 * _H1_MULT + (c + 1))
         ext_h2.append(h2 * _H2_MULT + (c + 1))
 
-    # ---- merge extends into equal-hash stays (pairwise, lane-packed) -----
-    # All four labels share one [TB, SEG, 4*SEG] matrix: lane group c holds
-    # the (ext-with-label-c, stay) comparisons. 4*SEG = 128 lanes exactly,
-    # so no lane padding is wasted (a per-label [.., SEG] matrix pads 4x).
-    live_i = live.astype(jnp.int32)  # i1 minor-dim inserts unsupported
-    glane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG, 4 * SEG), 2)
-    cplus1 = glane // SEG + 1                      # label c+1 per lane group
-    h1_stay = jnp.concatenate([h1] * NLAB, axis=1)[:, None, :]   # [TB,1,128]
-    h2_stay = jnp.concatenate([h2] * NLAB, axis=1)[:, None, :]
-    live_stay = jnp.concatenate([live_i] * NLAB, axis=1)[:, None, :]
-    # extend-side quantities in sublane orientation (one relayout each)
-    h1k = (h1 * _H1_MULT)[:, :, None]
-    h2k = (h2 * _H2_MULT)[:, :, None]
-    pb_ins = pb[:, :, None]
-    pon_ins = pb_or_pnb[:, :, None]
-    last_ins = last[:, :, None]
-    lp_lane = jnp.concatenate(
-        [jnp.broadcast_to(lp[:, c:c + 1], (tb, SEG)) for c in range(NLAB)],
-        axis=1,
-    )[:, None, :]                                   # [TB, 1, 128]
-    ext_pnb_m = lp_lane + jnp.where(last_ins == cplus1 - 1, pb_ins, pon_ins)
+    # ---- merge extends into equal-hash stays (pairwise, row-packed) ------
+    # All four labels share one [SEG, 4*SEG, TB] tensor: sublane group c of
+    # axis 1 holds the (ext-with-label-c, stay) comparisons; axis 0 is the
+    # extend parent. Lanes stay fully packed with batch.
+    live_i = live.astype(jnp.int32)  # i1 mid-dim inserts unsupported
+    grow = jax.lax.broadcasted_iota(jnp.int32, (SEG, 4 * SEG, tb), 1)
+    cplus1 = grow // SEG + 1                       # label c+1 per row group
+    h1_stay = jnp.concatenate([h1] * NLAB, axis=0)[None]        # [1,128,TB]
+    h2_stay = jnp.concatenate([h2] * NLAB, axis=0)[None]
+    live_stay = jnp.concatenate([live_i] * NLAB, axis=0)[None]
+    # extend-side quantities get the middle axis inserted (one relayout each)
+    h1k = (h1 * _H1_MULT)[:, None, :]
+    h2k = (h2 * _H2_MULT)[:, None, :]
+    pb_ins = pb[:, None, :]
+    pon_ins = pb_or_pnb[:, None, :]
+    last_ins = last[:, None, :]
+    lp_row = jnp.concatenate(
+        [jnp.broadcast_to(lp[c:c + 1], (SEG, tb)) for c in range(NLAB)],
+        axis=0,
+    )[None]                                         # [1, 128, TB]
+    ext_pnb_m = lp_row + jnp.where(last_ins == cplus1 - 1, pb_ins, pon_ins)
     eq = (
         (h1k + cplus1 == h1_stay)
         & (h2k + cplus1 == h2_stay)
         & (ext_pnb_m > _NEG / 2)
-        & (live_i[:, :, None] > 0)
+        & (live_i[:, None, :] > 0)
         & (live_stay > 0)
     )
-    contrib = jnp.where(eq, ext_pnb_m, _NEG)       # [TB, SEG, 128]
-    m_all = jnp.max(contrib, axis=1)               # [TB, 128] per (c, stay)
-    s_all = jnp.sum(jnp.where(eq, jnp.exp(contrib - m_all[:, None, :]), 0.0), axis=1)
+    contrib = jnp.where(eq, ext_pnb_m, _NEG)       # [SEG, 128, TB]
+    m_all = jnp.max(contrib, axis=0)               # [128, TB] per (c, stay)
+    s_all = jnp.sum(jnp.where(eq, jnp.exp(contrib - m_all[None]), 0.0), axis=0)
     merged_all = jnp.where(
         m_all > _NEG / 2, m_all + jnp.log(jnp.maximum(s_all, 1e-37)), _NEG
     )
-    merged_total = jnp.full((tb, SEG), _NEG)
+    merged_total = jnp.full((SEG, tb), _NEG)
     killed = []
     for c in range(NLAB):
-        merged_total = _lae(merged_total, merged_all[:, c * SEG:(c + 1) * SEG])
-        killed.append(jnp.any(eq[:, :, c * SEG:(c + 1) * SEG], axis=2))
+        merged_total = _lae(merged_total, merged_all[c * SEG:(c + 1) * SEG])
+        killed.append(jnp.any(eq[:, c * SEG:(c + 1) * SEG, :], axis=1))
     stay_pnb = _lae(stay_pnb, merged_total)
 
-    # ---- assemble candidate lanes [TB, CAND_PAD] -------------------------
-    neg_tail = jnp.full((tb, CAND_PAD - CAND), _NEG)
-    zeros_tail_i = jnp.zeros((tb, CAND_PAD - CAND), jnp.int32)
+    # ---- assemble candidate rows [CAND, TB] ------------------------------
     cand_pb = jnp.concatenate(
-        [stay_pb] + [jnp.full((tb, SEG), _NEG)] * NLAB + [neg_tail], axis=1
+        [stay_pb] + [jnp.full((SEG, tb), _NEG)] * NLAB, axis=0
     )
     cand_pnb = jnp.concatenate(
         [stay_pnb]
-        + [jnp.where(killed[c], _NEG, ext_pnb[c]) for c in range(NLAB)]
-        + [neg_tail],
-        axis=1,
+        + [jnp.where(killed[c], _NEG, ext_pnb[c]) for c in range(NLAB)],
+        axis=0,
     )
-    cand_h1 = jnp.concatenate([h1] + ext_h1 + [zeros_tail_i], axis=1)
-    cand_h2 = jnp.concatenate([h2] + ext_h2 + [zeros_tail_i], axis=1)
+    cand_h1 = jnp.concatenate([h1] + ext_h1, axis=0)
+    cand_h2 = jnp.concatenate([h2] + ext_h2, axis=0)
     cand_last = jnp.concatenate(
-        [last] + [jnp.full((tb, SEG), c, jnp.int32) for c in range(NLAB)]
-        + [zeros_tail_i],
-        axis=1,
+        [last] + [jnp.full((SEG, tb), c, jnp.int32) for c in range(NLAB)],
+        axis=0,
     )
     score = _lae(cand_pb, cand_pnb)
 
-    cl = jax.lax.broadcasted_iota(jnp.int32, (tb, CAND_PAD), 1)
+    cl = jax.lax.broadcasted_iota(jnp.int32, (CAND, tb), 0)
 
     # ---- top-k phase 1: collect the k-th argmax indices ------------------
     # Iterative extract-max is inherently sequential but each iteration is
-    # only ~5 ops; all state gathering is deferred to one vectorized pass.
-    # w is static, so exactly w iterations are emitted.
-    idx_cols = []
-    live_cols = []
+    # only ~5 ops over sublane trees; all state gathering is deferred to one
+    # vectorized pass. w is static, so exactly w iterations are emitted.
+    idx_rows = []
+    live_rows = []
     for k in range(w):
-        m = jnp.max(score, axis=1, keepdims=True)  # [TB, 1]
-        idx = jnp.min(jnp.where(score >= m, cl, CAND_PAD), axis=1, keepdims=True)
-        idx_cols.append(idx)
-        live_cols.append((m > _NEG / 2).astype(jnp.int32))  # i1 concat unsupported
+        m = jnp.max(score, axis=0, keepdims=True)  # [1, TB]
+        idx = jnp.min(jnp.where(score >= m, cl, CAND), axis=0, keepdims=True)
+        idx_rows.append(idx)
+        live_rows.append((m > _NEG / 2).astype(jnp.int32))  # i1 concat unsupported
         score = jnp.where(cl == idx, _NEG, score)
     if w < SEG:  # inert tail slots
-        idx_cols.append(jnp.zeros((tb, SEG - w), jnp.int32))
-        live_cols.append(jnp.zeros((tb, SEG - w), jnp.int32))
-    idx_all = jnp.concatenate(idx_cols, axis=1)    # [TB, SEG]
-    picked_live = jnp.concatenate(live_cols, axis=1) > 0  # [TB, SEG]
+        idx_rows.append(jnp.zeros((SEG - w, tb), jnp.int32))
+        live_rows.append(jnp.zeros((SEG - w, tb), jnp.int32))
+    idx_all = jnp.concatenate(idx_rows, axis=0)    # [SEG, TB]
+    picked_live = jnp.concatenate(live_rows, axis=0) > 0  # [SEG, TB]
 
     # ---- top-k phase 2: one 3D one-hot gather for all slots --------------
     # A slot with no live candidate receives a FRESH garbage hash (derived
     # from (t, k)) — otherwise it would copy candidate 0's hash and a later
     # merge could resurrect a duplicate prefix.
-    onehot3 = idx_all[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (tb, SEG, CAND_PAD), 2
-    )  # [TB, SEG, CAND_PAD]
+    onehot3 = idx_all[:, None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (SEG, CAND, tb), 1
+    )  # [SEG, CAND, TB]
 
     def pick_f(arr):
-        return jnp.sum(jnp.where(onehot3, arr[:, None, :], 0.0), axis=2)
+        return jnp.sum(jnp.where(onehot3, arr[None], 0.0), axis=1)
 
     def pick_i(arr):
-        return jnp.sum(jnp.where(onehot3, arr[:, None, :], 0), axis=2)
+        return jnp.sum(jnp.where(onehot3, arr[None], 0), axis=1)
 
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
-    valid = live & picked_live  # live == (kcol < w)
-    garbage1 = (t * 131 + kcol) * 7919 + 1000003
-    garbage2 = (t * 131 + kcol) * 104729 + 666
+    valid = live & picked_live  # live == (row < w)
+    garbage1 = (t * 131 + row) * 7919 + 1000003
+    garbage2 = (t * 131 + row) * 104729 + 666
     new_pb = jnp.where(valid, pick_f(cand_pb), _NEG)
     new_pnb = jnp.where(valid, pick_f(cand_pnb), _NEG)
     new_h1 = jnp.where(valid, pick_i(cand_h1), garbage1)
     new_h2 = jnp.where(valid, pick_i(cand_h2), garbage2)
     new_last = jnp.where(valid, pick_i(cand_last), -1)
-    parents = jnp.where(valid, idx_all % SEG, kcol)
+    parents = jnp.where(valid, idx_all % SEG, row)
     chars = jnp.where(valid, idx_all // SEG - 1, -1)
 
     # ---- freeze past each row's length -----------------------------------
-    active = lens_ref[:, :1] > t  # [TB, 1]
+    active = lens_ref[:1, :] > t  # [1, TB]
     pb_s[:] = jnp.where(active, new_pb, pb)
     pnb_s[:] = jnp.where(active, new_pnb, pnb)
     h1_s[:] = jnp.where(active, new_h1, h1)
     h2_s[:] = jnp.where(active, new_h2, h2)
     last_s[:] = jnp.where(active, new_last, last)
-    wlane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
-    out_parent = jnp.where(active, parents, wlane)
+    out_parent = jnp.where(active, parents, row)
     out_char = jnp.where(active, chars, -1)
     # pack (char, parent) into one int32 word: (char+1)*SEG + parent
     trace_ref[0] = (out_char + 1) * SEG + out_parent
     # NOTE: final beam scores are rematerialised outside from pb/pnb outputs
-
-
-def _final_kernel(pb_ref, pnb_ref, score_ref):
-    score_ref[:] = _lae(pb_ref[:], pnb_ref[:])
 
 
 TRACE_CHUNK = 16
@@ -232,23 +231,23 @@ def _traceback_kernel(best_ref, trace_in_ref, out_ref, w_scr):
     faster end-to-end traceback).
     """
     t = pl.program_id(1)  # chunk index; chunk covers reverse-time order
-    tb = w_scr.shape[0]
+    tb = w_scr.shape[1]
 
     @pl.when(t == 0)
     def _():
         w_scr[:] = best_ref[:]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, SEG), 1)
-    wcur = w_scr[:, :1]  # [TB, 1] current beam per row
+    row = jax.lax.broadcasted_iota(jnp.int32, (SEG, tb), 0)
+    wcur = w_scr[:1, :]  # [1, TB] current beam per lane
     # the input block holds TRACE_CHUNK steps in FORWARD time order; walk
     # them backwards (the index map already reversed the chunk order)
     for j in range(TRACE_CHUNK - 1, -1, -1):
-        onehot = lane == wcur
-        packed = trace_in_ref[j]  # [TB, SEG]: (char+1)*SEG + parent
-        v = jnp.sum(jnp.where(onehot, packed, 0), axis=1, keepdims=True)
-        out_ref[j] = jnp.broadcast_to(v // SEG - 1, (tb, SEG))
+        onehot = row == wcur
+        packed = trace_in_ref[j]  # [SEG, TB]: (char+1)*SEG + parent
+        v = jnp.sum(jnp.where(onehot, packed, 0), axis=0, keepdims=True)
+        out_ref[j] = jnp.broadcast_to(v // SEG - 1, (8, tb))
         wcur = v % SEG
-    w_scr[:] = jnp.broadcast_to(wcur, (tb, SEG))
+    w_scr[:] = jnp.broadcast_to(wcur, (8, tb))
 
 
 @functools.partial(
@@ -271,10 +270,10 @@ def beam_search_pallas(
     assert nclass == 5
     bp = -(-bsz // batch_tile) * batch_tile
     lp = jax.nn.log_softmax(logits, axis=-1)
-    lp = jnp.pad(lp, ((0, bp - bsz), (0, 0), (0, 3)), constant_values=_NEG)
-    lp = jnp.transpose(lp, (1, 0, 2))  # [T, Bp, 8]
+    lp = jnp.transpose(lp, (1, 2, 0))  # [T, 5, B]
+    lp = jnp.pad(lp, ((0, 0), (0, 3), (0, bp - bsz)), constant_values=_NEG)
     lens = jnp.pad(seq_lengths.astype(jnp.int32), (0, bp - bsz))
-    lens_b = jnp.broadcast_to(lens[:, None], (bp, 128))
+    lens_b = jnp.broadcast_to(lens[None, :], (8, bp))
 
     n_tiles = bp // batch_tile
 
@@ -282,78 +281,78 @@ def beam_search_pallas(
         functools.partial(_beam_wrapper, beam_width),
         grid=(n_tiles, t_max),
         in_specs=[
-            pl.BlockSpec((batch_tile, 128), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch_tile, 8), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((batch_tile, SEG), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, SEG), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch_tile, SEG), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SEG, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bp, SEG), jnp.float32),
-            jax.ShapeDtypeStruct((bp, SEG), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, bp, SEG), jnp.int32),
+            jax.ShapeDtypeStruct((SEG, bp), jnp.float32),
+            jax.ShapeDtypeStruct((SEG, bp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, SEG, bp), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         scratch_shapes=[
-            pltpu.VMEM((batch_tile, SEG), jnp.float32),
-            pltpu.VMEM((batch_tile, SEG), jnp.float32),
-            pltpu.VMEM((batch_tile, SEG), jnp.int32),
-            pltpu.VMEM((batch_tile, SEG), jnp.int32),
-            pltpu.VMEM((batch_tile, SEG), jnp.int32),
+            pltpu.VMEM((SEG, batch_tile), jnp.float32),
+            pltpu.VMEM((SEG, batch_tile), jnp.float32),
+            pltpu.VMEM((SEG, batch_tile), jnp.int32),
+            pltpu.VMEM((SEG, batch_tile), jnp.int32),
+            pltpu.VMEM((SEG, batch_tile), jnp.int32),
         ],
         interpret=interpret,
     )(lens_b, lp)
 
     final_score = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (bp, SEG), 1) < beam_width,
+        jax.lax.broadcasted_iota(jnp.int32, (SEG, bp), 0) < beam_width,
         _logaddexp_xla(pb, pnb),
         _NEG,
     )
-    best = jnp.argmax(final_score, axis=1).astype(jnp.int32)
-    log_prob = jnp.take_along_axis(final_score, best[:, None], axis=1)[:, 0]
+    best = jnp.argmax(final_score, axis=0).astype(jnp.int32)  # [Bp]
+    log_prob = jnp.max(final_score, axis=0)
 
-    best_b = jnp.broadcast_to(best[:, None], (bp, SEG))
+    best_b = jnp.broadcast_to(best[None, :], (8, bp))
     # pad time to a multiple of TRACE_CHUNK with no-op records
     # (char -1, parent identity) so chunked traceback stays exact
     tc = TRACE_CHUNK
     t_pad = -(-t_max // tc) * tc
     if t_pad != t_max:
-        wlane = jax.lax.broadcasted_iota(jnp.int32, (t_pad - t_max, bp, SEG), 2)
-        noop = (0) * SEG + wlane  # (char=-1 +1)*SEG + parent=w  == w
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (t_pad - t_max, SEG, bp), 1)
+        noop = (0) * SEG + wrow  # (char=-1 +1)*SEG + parent=w  == w
         trace = jnp.concatenate([trace, noop], axis=0)
     n_chunks = t_pad // tc
     rev = pl.pallas_call(
         _traceback_kernel,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((batch_tile, SEG), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tc, batch_tile, SEG),
-                lambda b, t: (n_chunks - 1 - t, b, 0),
+                (tc, SEG, batch_tile),
+                lambda b, t: (n_chunks - 1 - t, 0, b),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tc, batch_tile, SEG), lambda b, t: (n_chunks - 1 - t, b, 0),
+            (tc, 8, batch_tile), lambda b, t: (n_chunks - 1 - t, 0, b),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((t_pad, bp, SEG), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((batch_tile, SEG), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((t_pad, 8, bp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, batch_tile), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(best_b, trace)
 
-    # rev[t, b, 0] = char emitted at time t (already forward order; padded
+    # rev[t, 0, b] = char emitted at time t (already forward order; padded
     # tail steps emitted -1)
     from chiron_tpu.ops.ctc_greedy import compact_labels
 
-    fwd = rev[:t_max, :, 0].T[:bsz]  # [B, T]
+    fwd = rev[:t_max, 0, :].T[:bsz]  # [B, T]
     decoded, lengths = compact_labels(fwd, fwd >= 0)
     return decoded, lengths, log_prob[:bsz]
 
