@@ -195,8 +195,21 @@ def _run_cell(
     training: bool = False,
 ) -> jnp.ndarray:
     if cell_type == "BNLSTM":
-        # recurrent batch norm is batch-stat-coupled per step; stays on the
-        # XLA scan path (no fused kernel yet)
+        if not training and _use_pallas():
+            from chiron_tpu.ops.pallas.bnlstm import (
+                bnlstm_layer_pallas,
+                pad_bnlstm_weights,
+            )
+
+            hidden = params["wh"].shape[0]
+            wx_p, wh_p, b_p, sx_p, sh_p, sc_p, oc_p = pad_bnlstm_weights(
+                params, hidden
+            )
+            return bnlstm_layer_pallas(
+                x @ wx_p, wh_p, b_p, sx_p, sh_p, sc_p, oc_p, lengths, hidden
+            )
+        # training: recurrent batch norm stays on the XLA scan path
+        # (pallas_call has no autodiff)
         xw = x @ params["wx"]
         return _bnlstm_scan(params, xw, mask)
     if cell_type == "LSTM":
@@ -220,6 +233,17 @@ def _run_cell(
         xw = x @ params["wx"] + params["b"]
         return _lstm_scan(params, xw, mask)
     elif cell_type == "GRU":
+        if not training and _use_pallas():
+            from chiron_tpu.ops.pallas.gru import (
+                gru_layer_pallas,
+                pad_gru_weights,
+            )
+
+            hidden = params["wh_c"].shape[0]
+            wxg, whg, bg, wxc, whc, bc = pad_gru_weights(params, hidden)
+            return gru_layer_pallas(
+                x @ wxg + bg, x @ wxc + bc, whg, whc, lengths, hidden
+            )
         return _gru_scan(params, x, mask)
     raise ValueError(f"Cell type unrecognized: {cell_type}")
 

@@ -1,0 +1,136 @@
+"""Fused GRU layer as a single Pallas TPU kernel.
+
+Same design as ops/pallas/lstm.py (reference cell semantics:
+tf.nn.rnn_cell.GRUCell as selected via chiron/rnn.py:30-33): the time axis
+is the kernel grid, the hidden state lives in VMEM scratch across grid
+steps, and the gate/candidate input projections are precomputed outside as
+two large MXU matmuls. Each grid step does the two small recurrent matmuls
+([B,Hp]x[Hp,2Hp] for the r/u gates, [B,Hp]x[Hp,Hp] for the candidate) plus
+VPU gate math.
+
+Padding: H -> Hp (multiple of 128 lanes) with zero-padded weight/bias
+columns. Padded lanes stay exactly zero through the recurrence: gates on a
+padded lane are sigmoid(0)=0.5 but the candidate is tanh(0)=0 and h starts
+at 0, so new_h = 0.5*0 + 0.5*0 = 0.
+
+Training uses the lax.scan path (pallas_call has no autodiff); this kernel
+is inference-only, gated in models/rnn.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_cols(w: jnp.ndarray, h: int, ngates: int) -> jnp.ndarray:
+    """Pad each of the ``ngates`` gate column-blocks of [..., ngates*H] to Hp."""
+    hp = _round_up(h, LANE)
+    if hp == h:
+        return w
+    lead = w.shape[:-1]
+    wg = w.reshape(lead + (ngates, h))
+    pad = [(0, 0)] * len(lead) + [(0, 0), (0, hp - h)]
+    return jnp.pad(wg, pad).reshape(lead + (ngates * hp,))
+
+
+def pad_gru_weights(params, h: int):
+    """Pad a GRU cell param dict (models/rnn.py:init_gru_cell) for the kernel."""
+    hp = _round_up(h, LANE)
+    wxg = _pad_cols(params["wx_g"], h, 2)
+    bg = _pad_cols(params["b_g"], h, 2)
+    whg = _pad_cols(params["wh_g"], h, 2)
+    wxc = _pad_cols(params["wx_c"], h, 1)
+    bc = _pad_cols(params["b_c"], h, 1)
+    whc = _pad_cols(params["wh_c"], h, 1)
+    if hp != h:
+        whg = jnp.pad(whg, ((0, hp - h), (0, 0)))
+        whc = jnp.pad(whc, ((0, hp - h), (0, 0)))
+    return wxg, whg, bg, wxc, whc, bc
+
+
+def _gru_kernel(lens_ref, gx_ref, cx_ref, whg_ref, whc_ref, out_ref, h_scr):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    h = h_scr[:]
+    hp = h_scr.shape[-1]
+    gates = jax.nn.sigmoid(
+        gx_ref[0] + jnp.dot(h, whg_ref[:], preferred_element_type=jnp.float32)
+    )
+    r = gates[:, 0 * hp:1 * hp]
+    u = gates[:, 1 * hp:2 * hp]
+    cand = jnp.tanh(
+        cx_ref[0] + jnp.dot(r * h, whc_ref[:], preferred_element_type=jnp.float32)
+    )
+    new_h = u * h + (1.0 - u) * cand
+    mask = (lens_ref[:] > t).astype(new_h.dtype)  # [B, LANE] broadcast block
+    if hp == LANE:
+        mask_h = mask
+    else:
+        mask_h = jnp.broadcast_to(mask[:, :1], new_h.shape)
+    masked_h = mask_h * new_h
+    out_ref[0] = masked_h
+    h_scr[:] = masked_h + (1.0 - mask_h) * h
+
+
+@functools.partial(jax.jit, static_argnames=("hidden", "interpret"))
+def gru_layer_pallas(
+    gx: jnp.ndarray,
+    cx: jnp.ndarray,
+    whg: jnp.ndarray,
+    whc: jnp.ndarray,
+    lengths: jnp.ndarray,
+    hidden: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run a full GRU recurrence over precomputed input projections.
+
+    Args:
+      gx: [T, B, 2*Hp] float32 — x @ wx_g + b_g (padded layout).
+      cx: [T, B, Hp] float32 — x @ wx_c + b_c (padded layout).
+      whg: [Hp, 2*Hp] recurrent gate kernel; whc: [Hp, Hp] candidate kernel.
+      lengths: [B] int32 valid lengths.
+      hidden: true (unpadded) hidden size; output is sliced back to it.
+    Returns:
+      hs [T, B, hidden] float32 (outputs past each length are zero).
+    """
+    t_max, bsz, two_hp = gx.shape
+    hp = two_hp // 2
+    if hp != _round_up(hidden, LANE) or whg.shape != (hp, 2 * hp) or whc.shape != (hp, hp):
+        raise ValueError(
+            f"gx/whg/whc must be in padded layout: got gx 2H={two_hp}, "
+            f"whg {whg.shape}, whc {whc.shape}, hidden={hidden}; "
+            "use pad_gru_weights first"
+        )
+    lens_b = jnp.broadcast_to(lengths[:, None], (bsz, LANE)).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        _gru_kernel,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, 2 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 2 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_max, bsz, hp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bsz, hp), jnp.float32)],
+        interpret=interpret,
+    )(lens_b, gx, cx, whg, whc)
+    return out[:, :, :hidden]

@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chiron_tpu.models.rnn import (
+    _bnlstm_scan,
+    _gru_scan,
+    init_bnlstm_cell,
+    init_gru_cell,
+)
+from chiron_tpu.ops.pallas.bnlstm import bnlstm_layer_pallas, pad_bnlstm_weights
+from chiron_tpu.ops.pallas.gru import gru_layer_pallas, pad_gru_weights
+
+
+@pytest.mark.parametrize("h", [100, 128])
+def test_pallas_gru_matches_scan(h):
+    rng = np.random.RandomState(0)
+    t, b, c_in = 12, 16, 8
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape) * 0.3, jnp.float32),
+        init_gru_cell(jax.random.PRNGKey(0), c_in, h),
+    )
+    x = jnp.asarray(rng.randn(t, b, c_in), jnp.float32)
+    lengths = jnp.asarray([t] * 8 + [5] * 4 + [0] * 4, jnp.int32)
+    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(jnp.float32)[..., None]
+
+    ref = _gru_scan(params, x, mask)
+    wxg, whg, bg, wxc, whc, bc = pad_gru_weights(params, h)
+    out = gru_layer_pallas(
+        x @ wxg + bg, x @ wxc + bc, whg, whc, lengths, hidden=h, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("h", [100, 128])
+def test_pallas_bnlstm_matches_scan(h):
+    rng = np.random.RandomState(1)
+    t, b, c_in = 10, 16, 8
+    params = init_bnlstm_cell(jax.random.PRNGKey(1), c_in, h)
+    # randomize the learned pieces (keep BN scales positive-ish)
+    params = dict(
+        params,
+        wx=jnp.asarray(rng.randn(c_in, 4 * h) * 0.3, jnp.float32),
+        wh=jnp.asarray(rng.randn(h, 4 * h) * 0.3, jnp.float32),
+        b=jnp.asarray(rng.randn(4 * h) * 0.1, jnp.float32),
+        scale_x=jnp.asarray(0.1 + rng.rand(4 * h) * 0.2, jnp.float32),
+        scale_h=jnp.asarray(0.1 + rng.rand(4 * h) * 0.2, jnp.float32),
+        scale_c=jnp.asarray(0.1 + rng.rand(h) * 0.2, jnp.float32),
+        offset_c=jnp.asarray(rng.randn(h) * 0.1, jnp.float32),
+    )
+    x = jnp.asarray(rng.randn(t, b, c_in), jnp.float32)
+    lengths = jnp.asarray([t] * 8 + [4] * 4 + [0] * 4, jnp.int32)
+    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(jnp.float32)[..., None]
+
+    ref = _bnlstm_scan(params, x @ params["wx"], mask)
+    wx_p, wh_p, b_p, sx_p, sh_p, sc_p, oc_p = pad_bnlstm_weights(params, h)
+    out = bnlstm_layer_pallas(
+        x @ wx_p, wh_p, b_p, sx_p, sh_p, sc_p, oc_p, lengths,
+        hidden=h, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def test_pallas_gru_zero_length_batch():
+    rng = np.random.RandomState(2)
+    t, b, h = 6, 8, 100
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape) * 0.2, jnp.float32),
+        init_gru_cell(jax.random.PRNGKey(2), 4, h),
+    )
+    x = jnp.asarray(rng.randn(t, b, 4), jnp.float32)
+    wxg, whg, bg, wxc, whc, bc = pad_gru_weights(params, h)
+    out = gru_layer_pallas(
+        x @ wxg + bg, x @ wxc + bc, whg, whc,
+        jnp.zeros(b, jnp.int32), hidden=h, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
