@@ -120,6 +120,10 @@ def main(arguments=None):
                              help="Output mode, can be chosen from dna or rna.")
     parser_call.add_argument("--test_number", default=None, type=int,
                              help="Extract test_number reads, default is None, extract all reads.")
+    parser_call.add_argument("--bf16", action="store_true",
+                             help="bfloat16 matmul/conv inputs at inference "
+                                  "(f32 accumulation); ~same accuracy, "
+                                  "higher MXU throughput.")
     parser_call.add_argument("-p", "--preset", default=None,
                              help="Preset evaluation parameters: dna-pre, rna-pre")
     parser_call.add_argument("--n_devices", type=int, default=0,

@@ -15,6 +15,7 @@ depend on batch composition, see SURVEY.md §6).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Dict, Optional
 
 import jax
@@ -26,6 +27,30 @@ from chiron_tpu.models.initializers import variance_scaling, xavier_normal
 Params = Dict[str, Any]
 
 _BN_EPS = 1e-5
+
+# bf16 inference mode (config["bf16"]): matmul/conv INPUTS are cast to
+# bfloat16 with float32 accumulation (the MXU's native mode); batch-norm
+# statistics, biases, activations and all recurrent state stay float32.
+# Trace-time static: apply_model sets this for the duration of tracing.
+_BF16 = False
+
+
+@contextlib.contextmanager
+def bf16_compute(enabled: bool = True):
+    global _BF16
+    prev = _BF16
+    _BF16 = bool(enabled)
+    try:
+        yield
+    finally:
+        _BF16 = prev
+
+
+def matmul_inputs(*arrays):
+    """Cast matmul/conv operands to the active compute dtype (f32 or bf16)."""
+    if not _BF16:
+        return arrays
+    return tuple(a.astype(jnp.bfloat16) for a in arrays)
 
 
 # --------------------------------------------------------------------------
@@ -83,13 +108,15 @@ def conv(
     Reference behaviour: chiron/cnn.py:15-83 (conv -> optional bias ->
     optional global BN -> optional activation).
     """
+    lhs, rhs = matmul_inputs(x, params["w"])
     y = lax.conv_general_dilated(
-        x,
-        params["w"],
+        lhs,
+        rhs,
         window_strides=(stride,),
         padding=padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
     )
     if "b" in params:
         y = y + params["b"]

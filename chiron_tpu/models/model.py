@@ -381,15 +381,20 @@ def apply_model(
     name = config["cnn"]["model"]
     _, apply_fn = CNN_ZOO[name]
     x = signal[..., None]  # [B, T, 1]
-    fea = apply_fn(params["cnn"], x, config["cnn"])
-    rnn_cfg = config["rnn"]
-    if rnn_cfg["layer_num"] == 0:
-        return cnn_logit(params["cnn_logit"], fea)
-    return R.rnn_layers(
-        params["rnn"],
-        fea,
-        seq_len,
-        rnn_cfg["cell_type"],
-        rnn_cfg["layer_type"],
-        training=training,
-    )
+    # bf16 inference mode (config["bf16"]): matmul/conv inputs in bfloat16
+    # with f32 accumulation; off during training and by default.
+    from chiron_tpu.models.layers import bf16_compute
+
+    with bf16_compute(bool(config.get("bf16")) and not training):
+        fea = apply_fn(params["cnn"], x, config["cnn"])
+        rnn_cfg = config["rnn"]
+        if rnn_cfg["layer_num"] == 0:
+            return cnn_logit(params["cnn_logit"], fea)
+        return R.rnn_layers(
+            params["rnn"],
+            fea,
+            seq_len,
+            rnn_cfg["cell_type"],
+            rnn_cfg["layer_type"],
+            training=training,
+        )

@@ -28,8 +28,19 @@ import numpy as np
 from jax import lax
 
 from chiron_tpu.models.initializers import truncated_normal, xavier_uniform
+from chiron_tpu.models.layers import matmul_inputs
 
 Params = Dict[str, Any]
+
+
+def _proj(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Hoisted input-projection matmul; bf16 inputs under bf16 mode.
+
+    Only the big [T*B, C] x [C, 4H] projections go through this — the
+    recurrent state math (inside the scan/Pallas kernels) stays float32.
+    """
+    a, b = matmul_inputs(x, w)
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -157,8 +168,8 @@ def _gru_scan(params: Params, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """GRU over [T, B, C] input (gate input projections precomputed)."""
     hidden = params["wh_c"].shape[0]
     bsz = x.shape[1]
-    gx = x @ params["wx_g"] + params["b_g"]  # [T, B, 2H]
-    cx = x @ params["wx_c"] + params["b_c"]  # [T, B, H]
+    gx = _proj(x, params["wx_g"]) + params["b_g"]  # [T, B, 2H]
+    cx = _proj(x, params["wx_c"]) + params["b_c"]  # [T, B, H]
     h0 = jnp.zeros((bsz, hidden), x.dtype)
 
     def step(h, inp):
@@ -186,6 +197,25 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _flip_reversal(cell_type: str, training: bool) -> bool:
+    """True when the backward direction should use flip + start-offset.
+
+    ``reverse_sequence`` is a per-row gather (~2.4ms for [400,400,256] on
+    v5e); ``jnp.flip`` is a contiguous reverse (~0.07ms). The Pallas
+    LSTM/GRU kernels accept a per-row active window [start, start+len), so
+    the backward direction can consume the FULL flipped sequence with
+    start = T - len: the state stays frozen at zero until the row's data
+    begins, which is mathematically identical to reversing within the
+    length. BNLSTM is excluded — its per-step batch statistics would be
+    computed over a different set of active rows under flip.
+    """
+    return (
+        not training
+        and cell_type in ("LSTM", "GRU")
+        and _use_pallas()
+    )
+
+
 def _run_cell(
     cell_type: str,
     params: Params,
@@ -193,7 +223,10 @@ def _run_cell(
     mask: jnp.ndarray,
     lengths: jnp.ndarray,
     training: bool = False,
+    starts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
+    if starts is not None and not _flip_reversal(cell_type, training):
+        raise ValueError("starts requires the Pallas LSTM/GRU path")
     if cell_type == "BNLSTM":
         if not training and _use_pallas():
             from chiron_tpu.ops.pallas.bnlstm import (
@@ -206,11 +239,11 @@ def _run_cell(
                 params, hidden
             )
             return bnlstm_layer_pallas(
-                x @ wx_p, wh_p, b_p, sx_p, sh_p, sc_p, oc_p, lengths, hidden
+                _proj(x, wx_p), wh_p, b_p, sx_p, sh_p, sc_p, oc_p, lengths, hidden
             )
         # training: recurrent batch norm stays on the XLA scan path
         # (pallas_call has no autodiff)
-        xw = x @ params["wx"]
+        xw = _proj(x, params["wx"])
         return _bnlstm_scan(params, xw, mask)
     if cell_type == "LSTM":
         if _use_pallas():
@@ -223,14 +256,15 @@ def _run_cell(
             wx_p, wh_p, b_p = pad_lstm_weights(
                 params["wx"], params["wh"], params["b"], hidden
             )
-            xw = x @ wx_p + b_p
+            xw = _proj(x, wx_p) + b_p
             if training:
                 # custom-VJP variant: backward BPTT is a second fused kernel
                 from chiron_tpu.ops.pallas.lstm_grad import lstm_layer_pallas_ad
 
                 return lstm_layer_pallas_ad(xw, wh_p, lengths, hidden, False)
-            return lstm_layer_pallas(xw, wh_p, lengths, hidden=hidden)
-        xw = x @ params["wx"] + params["b"]
+            return lstm_layer_pallas(xw, wh_p, lengths, hidden=hidden,
+                                     starts=starts)
+        xw = _proj(x, params["wx"]) + params["b"]
         return _lstm_scan(params, xw, mask)
     elif cell_type == "GRU":
         if not training and _use_pallas():
@@ -242,7 +276,8 @@ def _run_cell(
             hidden = params["wh_c"].shape[0]
             wxg, whg, bg, wxc, whc, bc = pad_gru_weights(params, hidden)
             return gru_layer_pallas(
-                x @ wxg + bg, x @ wxc + bc, whg, whc, lengths, hidden
+                _proj(x, wxg) + bg, _proj(x, wxc) + bc, whg, whc, lengths,
+                hidden, starts=starts
             )
         return _gru_scan(params, x, mask)
     raise ValueError(f"Cell type unrecognized: {cell_type}")
@@ -314,20 +349,36 @@ def birnn_stack(
     t = xt.shape[0]
     mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(xt.dtype)[..., None]
 
+    flip = _flip_reversal(cell_type, training)
+    # flip mode: the backward direction consumes the fully time-flipped
+    # sequence; a row's data then occupies [T-len, T) and the kernel's
+    # start-offset mask keeps state frozen at zero before it. Exactly the
+    # reverse_sequence math, without its per-row gather (~2.4ms -> ~0.07ms
+    # per reversal at [400,400,256]).
+    starts = (t - lengths) if flip else None
+
+    def rev_in(arr):
+        return jnp.flip(arr, axis=0) if flip else reverse_sequence(arr, lengths)
+
+    def rev_out(arr):
+        return jnp.flip(arr, axis=0) if flip else reverse_sequence(arr, lengths)
+
     if layer_type == "rna":
         fw = xt
-        bw = reverse_sequence(xt, lengths)
+        bw = rev_in(xt)
         for layer in params["layers"]:
             fw = _run_cell(cell_type, layer["fw"], fw, mask, lengths, training)
-            bw = _run_cell(cell_type, layer["bw"], bw, mask, lengths, training)
-        out = jnp.concatenate([fw, reverse_sequence(bw, lengths)], axis=-1)
+            bw = _run_cell(cell_type, layer["bw"], bw, mask, lengths, training,
+                           starts=starts)
+        out = jnp.concatenate([fw, rev_out(bw)], axis=-1)
     else:
         out = xt
         for layer in params["layers"]:
             fw = _run_cell(cell_type, layer["fw"], out, mask, lengths, training)
-            bw_in = reverse_sequence(out, lengths)
-            bw = _run_cell(cell_type, layer["bw"], bw_in, mask, lengths, training)
-            out = jnp.concatenate([fw, reverse_sequence(bw, lengths)], axis=-1)
+            bw_in = rev_in(out)
+            bw = _run_cell(cell_type, layer["bw"], bw_in, mask, lengths,
+                           training, starts=starts)
+            out = jnp.concatenate([fw, rev_out(bw)], axis=-1)
     return jnp.transpose(out, (1, 0, 2))  # back to [B, T, 2H]
 
 

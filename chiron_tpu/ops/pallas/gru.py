@@ -59,7 +59,7 @@ def pad_gru_weights(params, h: int):
     return wxg, whg, bg, wxc, whc, bc
 
 
-def _gru_kernel(lens_ref, gx_ref, cx_ref, whg_ref, whc_ref, out_ref, h_scr):
+def _gru_kernel(lens_ref, starts_ref, gx_ref, cx_ref, whg_ref, whc_ref, out_ref, h_scr):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -77,7 +77,9 @@ def _gru_kernel(lens_ref, gx_ref, cx_ref, whg_ref, whc_ref, out_ref, h_scr):
         cx_ref[0] + jnp.dot(r * h, whc_ref[:], preferred_element_type=jnp.float32)
     )
     new_h = u * h + (1.0 - u) * cand
-    mask = (lens_ref[:] > t).astype(new_h.dtype)  # [B, LANE] broadcast block
+    # active window per row: starts <= t < starts + lens (see lstm.py)
+    active = (starts_ref[:] <= t) & (starts_ref[:] + lens_ref[:] > t)
+    mask = active.astype(new_h.dtype)  # [B, LANE] broadcast block
     if hp == LANE:
         mask_h = mask
     else:
@@ -96,6 +98,7 @@ def gru_layer_pallas(
     lengths: jnp.ndarray,
     hidden: int,
     interpret: bool = False,
+    starts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run a full GRU recurrence over precomputed input projections.
 
@@ -117,11 +120,16 @@ def gru_layer_pallas(
             "use pad_gru_weights first"
         )
     lens_b = jnp.broadcast_to(lengths[:, None], (bsz, LANE)).astype(jnp.int32)
+    if starts is None:
+        starts_b = jnp.zeros((bsz, LANE), jnp.int32)
+    else:
+        starts_b = jnp.broadcast_to(starts[:, None], (bsz, LANE)).astype(jnp.int32)
 
     out = pl.pallas_call(
         _gru_kernel,
         grid=(t_max,),
         in_specs=[
+            pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bsz, 2 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -132,5 +140,5 @@ def gru_layer_pallas(
         out_shape=jax.ShapeDtypeStruct((t_max, bsz, hp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bsz, hp), jnp.float32)],
         interpret=interpret,
-    )(lens_b, gx, cx, whg, whc)
+    )(lens_b, starts_b, gx, cx, whg, whc)
     return out[:, :, :hidden]

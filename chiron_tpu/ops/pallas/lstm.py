@@ -38,7 +38,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _lstm_kernel(lens_ref, xw_ref, wh_ref, out_ref, h_scr, c_scr):
+def _lstm_kernel(lens_ref, starts_ref, xw_ref, wh_ref, out_ref, h_scr, c_scr):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -56,7 +56,11 @@ def _lstm_kernel(lens_ref, xw_ref, wh_ref, out_ref, h_scr, c_scr):
     o = gates[:, 3 * hp:4 * hp]
     new_c = jax.nn.sigmoid(f + _FORGET_BIAS) * c_scr[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
     new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
-    mask = (lens_ref[:] > t).astype(new_h.dtype)  # [B, LANE] broadcast block
+    # active window per row: starts <= t < starts + lens (starts is 0 for a
+    # forward pass; T-len for a flip-reversed backward pass — see
+    # models/rnn.py:birnn_stack; the state stays frozen at zero before it)
+    active = (starts_ref[:] <= t) & (starts_ref[:] + lens_ref[:] > t)
+    mask = active.astype(new_h.dtype)  # [B, LANE] broadcast block
     if hp == LANE:
         mask_h = mask
     else:
@@ -101,6 +105,7 @@ def lstm_layer_pallas(
     lengths: jnp.ndarray,
     hidden: int | None = None,
     interpret: bool = False,
+    starts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run a full LSTM recurrence over precomputed input projections.
 
@@ -126,11 +131,16 @@ def lstm_layer_pallas(
     xw_p, wh_p = xw, wh
 
     lens_b = jnp.broadcast_to(lengths[:, None], (bsz, LANE)).astype(jnp.int32)
+    if starts is None:
+        starts_b = jnp.zeros((bsz, LANE), jnp.int32)
+    else:
+        starts_b = jnp.broadcast_to(starts[:, None], (bsz, LANE)).astype(jnp.int32)
 
     out = pl.pallas_call(
         _lstm_kernel,
         grid=(t_max,),
         in_specs=[
+            pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bsz, 4 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, 4 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -142,7 +152,7 @@ def lstm_layer_pallas(
             pltpu.VMEM((bsz, hp), jnp.float32),
         ],
         interpret=interpret,
-    )(lens_b, xw_p, wh_p)
+    )(lens_b, starts_b, xw_p, wh_p)
     return out[:, :, :h]
 
 

@@ -85,3 +85,30 @@ def test_model_jits():
     y1 = fwd(params, x, sl)
     y2 = apply_model(params, config, x, sl)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-4, atol=1e-4)
+
+
+def test_bf16_inference_mode_close_to_f32():
+    """config["bf16"] casts matmul/conv inputs to bfloat16 (f32 accum)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chiron_tpu import config as C
+    from chiron_tpu.models import apply_model, init_model
+
+    config = C.default_config()
+    rng = np.random.RandomState(0)
+    params = init_model(jax.random.PRNGKey(0), config)
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    sl = jnp.full((4,), 64, jnp.int32)
+    ref = np.asarray(apply_model(params, config, x, sl))
+    out = np.asarray(apply_model(params, dict(config, bf16=True), x, sl))
+    assert not np.array_equal(out, ref)  # mode actually engaged
+    # logits agree to bf16 round-off through BN + 3 BiLSTM layers
+    np.testing.assert_allclose(out, ref, rtol=0.15, atol=0.15)
+    # training ignores the flag (exact f32 semantics for parity/stability)
+    tr_ref = np.asarray(apply_model(params, config, x, sl, training=True))
+    tr_bf = np.asarray(
+        apply_model(params, dict(config, bf16=True), x, sl, training=True)
+    )
+    np.testing.assert_array_equal(tr_ref, tr_bf)

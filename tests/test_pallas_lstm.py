@@ -35,3 +35,41 @@ def test_pallas_lstm_zero_length_batch():
     from chiron_tpu.ops.pallas.lstm import pad_gate_cols
     out = lstm_layer_pallas(pad_gate_cols(xw, h), wh_p, jnp.zeros(b, jnp.int32), hidden=h, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_pallas_lstm_flip_starts_equals_reverse_sequence():
+    """flip + start-offset mask == reverse_sequence orchestration.
+
+    The backward direction of birnn_stack feeds the kernel the fully
+    time-flipped sequence with starts = T - len; the result flipped back
+    must equal running the scan on reverse_sequence input and re-reversing.
+    """
+    from chiron_tpu.models.rnn import reverse_sequence
+
+    rng = np.random.RandomState(5)
+    t, b, h, c_in = 12, 8, 100, 8
+    wx = jnp.asarray(rng.randn(c_in, 4 * h) * 0.3, jnp.float32)
+    wh = jnp.asarray(rng.randn(h, 4 * h) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.randn(4 * h) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.randn(t, b, c_in), jnp.float32)
+    lengths = jnp.asarray([t, t, 9, 5, 3, 1, 0, 7], jnp.int32)
+    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(jnp.float32)[..., None]
+
+    # path A: reverse_sequence orchestration over the scan reference
+    bw_in = reverse_sequence(x, lengths)
+    out_a = reverse_sequence(
+        _lstm_scan({"wx": wx, "wh": wh, "b": bias}, bw_in @ wx + bias, mask),
+        lengths,
+    )
+
+    # path B: flip + starts through the Pallas kernel
+    wx_p, wh_p, b_p = pad_lstm_weights(wx, wh, bias, h)
+    bw_in2 = jnp.flip(x, axis=0)
+    out_k = lstm_layer_pallas(
+        bw_in2 @ wx_p + b_p, wh_p, lengths, hidden=h,
+        starts=(t - lengths), interpret=True,
+    )
+    out_b = jnp.flip(out_k, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_a), rtol=2e-5, atol=2e-5
+    )
