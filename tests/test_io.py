@@ -124,3 +124,30 @@ def test_label_correlation_with_signal(tmp_path):
     ])
     corr = np.corrcoef(means, lab_means)[0, 1]
     assert corr > 0.9
+
+
+def test_parse_signal_text_native_matches_numpy():
+    """Native parser parity with the Python split path on edge cases."""
+    import numpy as np
+
+    from chiron_tpu.io import signal as S
+
+    cases = [
+        b"565 446 462 455",
+        b"  -3 +7\n12\t0  ",
+        b"1.5 -2.25e1 3e-2 100",
+        b"",
+        b"   ",
+        b"7",
+        (" ".join(str(v) for v in range(-500, 500))).encode(),
+    ]
+    lib = S._load_parse_lib()
+    assert lib is not None, "native parser should build in this environment"
+    for raw in cases:
+        got = S.parse_signal_text(raw)
+        vals = raw.split()
+        want = (
+            np.asarray(vals, dtype=np.float32)
+            if vals else np.zeros(0, np.float32)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=repr(raw))
