@@ -279,13 +279,39 @@ def load_params(model_dir: str, config, seed: int = 0):
     return params
 
 
+_DEVICE_PARAMS_CACHE: dict = {}
+
+
+def load_device_params(model_dir: str, config, seed: int = 0):
+    """load_params + device_put, cached by (dir, newest checkpoint mtime).
+
+    Re-uploading the flagship model costs ~7MB of host->device transfer
+    per call (~200ms through the dev tunnel); repeated evaluation() calls
+    in one process (server mode, benchmarks) must not pay it again.
+    """
+    key = None
+    if model_dir and os.path.isdir(model_dir):
+        newest = 0.0
+        for f in os.listdir(model_dir):
+            if f.endswith(".npz"):
+                newest = max(newest, os.path.getmtime(os.path.join(model_dir, f)))
+        key = (os.path.abspath(model_dir), newest, jax.default_backend())
+        cached = _DEVICE_PARAMS_CACHE.get(key)
+        if cached is not None:
+            return cached
+    params = jax.device_put(load_params(model_dir, config, seed))
+    if key is not None and key[1] > 0:
+        _DEVICE_PARAMS_CACHE[key] = params
+    return params
+
+
 def evaluation(flags) -> dict:
     """Run basecalling over all input files. Returns summary stats."""
     config_path = os.path.join(flags.model, "model.json") if flags.model else None
     config = C.read_config(config_path)
     if getattr(flags, "bf16", False):
         config = dict(config, bf16=True)
-    params = load_params(flags.model, config)
+    params = load_device_params(flags.model, config)
 
     ensure_output_dirs(flags.output)
     file_dir, file_list = list_input_files(flags.input, getattr(flags, "recursive", True))
@@ -308,7 +334,6 @@ def evaluation(flags) -> dict:
     alphabet = C.alphabet(config)
     step_fn = make_decode_step(config, flags.segment_len, flags.beam,
                                flags.batch_size, n_devices)
-    params = jax.device_put(params)
 
     # per-file accumulators
     acc = defaultdict(dict)  # fname -> {idx: (bases, prob)}
