@@ -350,8 +350,15 @@ def evaluation(flags) -> dict:
     # tobytes (5x faster than a per-base join loop at B=400)
     base_lut = np.frombuffer(alphabet.encode(), np.uint8)
 
-    def drain_one():
-        nonlocal total_bases, total_windows
+    # per-read assembly+write runs in one worker thread (numpy releases the
+    # GIL for the heavy parts), overlapping with device compute/transfers —
+    # the analog of the reference's decode-queue threads (chiron_eval.py:520)
+    from concurrent.futures import ThreadPoolExecutor
+
+    fin_futures = []
+
+    def drain_one(finalizer):
+        nonlocal total_windows
         packed, widx, fnames = inflight.popleft()
         decoded, lengths, score, prob = unpack_step_outputs(np.asarray(packed))
         for i in range(len(fnames)):
@@ -365,21 +372,24 @@ def evaluation(flags) -> dict:
         # finalize any complete files
         for fn in list(acc.keys()):
             if fn in counts and len(acc[fn]) == counts[fn]:
-                total_bases_f = _finalize_file(fn, acc.pop(fn), flags, timing[fn])
-                total_bases += total_bases_f
+                fin_futures.append(
+                    finalizer(_finalize_file, fn, acc.pop(fn), flags, timing[fn])
+                )
 
-    for x, sl, widx, fnames, meta in _prefetch(
-        _batch_stream(file_dir, file_list, flags, ratio)
-    ):
-        for fn, (nwin, rtime) in meta.items():
-            counts[fn] = nwin
-            timing[fn] = (time.time() - rtime, rtime)  # (start_time, reading)
-        out = step_fn(params, jnp.asarray(x), jnp.asarray(sl))
-        inflight.append((out, widx, fnames))
-        if len(inflight) > pipeline_depth:
-            drain_one()
-    while inflight:
-        drain_one()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for x, sl, widx, fnames, meta in _prefetch(
+            _batch_stream(file_dir, file_list, flags, ratio)
+        ):
+            for fn, (nwin, rtime) in meta.items():
+                counts[fn] = nwin
+                timing[fn] = (time.time() - rtime, rtime)  # (start, reading)
+            out = step_fn(params, jnp.asarray(x), jnp.asarray(sl))
+            inflight.append((out, widx, fnames))
+            if len(inflight) > pipeline_depth:
+                drain_one(pool.submit)
+        while inflight:
+            drain_one(pool.submit)
+        total_bases = sum(f.result() for f in fin_futures)
     # genuinely empty inputs still get (empty) output files, like the
     # reference; unreadable inputs (count -1) are skipped entirely
     for fn in done_order:
