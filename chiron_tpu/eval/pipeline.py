@@ -315,6 +315,12 @@ def evaluation(flags) -> dict:
 
     ensure_output_dirs(flags.output)
     file_dir, file_list = list_input_files(flags.input, getattr(flags, "recursive", True))
+    # --test_number: basecall only the first N reads (the reference declares
+    # this flag, entry.py:87-90, but its implementation is commented out,
+    # extract_sig_ref.py:84-86; here it is honored)
+    test_number = getattr(flags, "test_number", None)
+    if test_number is not None:
+        file_list = file_list[: int(test_number)]
     # multi-host: shard the file stream (reads never span hosts)
     if jax.process_count() > 1:
         from chiron_tpu.parallel.dist import shard_files

@@ -94,6 +94,105 @@ def get_label_raw(
     )
 
 
+def get_label_segment(
+    fast5_fn: str,
+    basecall_group: str,
+    basecall_subgroup: str,
+    corrected_group: str = "RawGenomeCorrected_000",
+) -> Tuple[np.ndarray, int, int, int]:
+    """Annotate basecaller event segments with resquiggled 5-mer labels.
+
+    Re-design of chiron/utils/labelop.py:14-130: each basecall event from
+    ``Analyses/<group>/<subgroup>/Events`` (times converted to samples via
+    the channel sampling rate) is assigned to the Tombo-corrected event
+    (``RawGenomeCorrected_000``) covering its start sample — one vectorized
+    ``searchsorted`` instead of the reference's nested scan loops — and
+    annotated with the centered 5-mer, the corrected event's start/length,
+    and move=1 on the first segment of each corrected event. Segments
+    before the first / after the last full 5-mer window are dropped.
+
+    Returns (segment_data, first_index, last_index, total) with the
+    reference's structured dtype.
+    """
+    with h5py.File(fast5_fn, "r") as f5:
+        try:
+            rate = int(f5["UniqueGlobalKey/channel_id"].attrs["sampling_rate"])
+        except Exception:
+            raise RuntimeError("Could not get channel info")
+        try:
+            raw_grp = list(f5["/Raw/Reads/"].values())[0]
+            raw_start_time = int(raw_grp.attrs["start_time"])
+        except Exception:
+            raise RuntimeError(
+                "Raw data is not stored in Raw/Reads/Read_[read#] so "
+                "new segments cannot be identified."
+            )
+        try:
+            seg = np.asarray(
+                f5["/Analyses/" + basecall_group + "/" + basecall_subgroup + "/Events"]
+            )
+        except Exception:
+            raise RuntimeError(
+                "No events or corrupted events in file. Likely a "
+                "segmentation error or mis-specified basecall-subgroups."
+            )
+        try:
+            corr = f5["/Analyses/" + corrected_group + "/" + basecall_subgroup + "/Events"]
+            corr_attrs = dict(corr.attrs.items())
+            corr = np.asarray(corr)
+        except Exception:
+            raise RuntimeError("Corrected data not found.")
+
+    total = len(seg)
+    seg_starts = (seg["start"] * rate - raw_start_time).astype(np.int64)
+    seg_lengths = np.rint(seg["length"] * rate).astype(np.int64)
+    corr_starts = (corr["start"] + int(corr_attrs["read_start_rel_to_raw"])).astype(
+        np.int64
+    )
+    corr_lengths = np.asarray(corr["length"], np.int64)
+    bases = np.asarray(corr["base"], "S1")
+    n_corr = len(corr_starts)
+    if n_corr < 5:
+        raise RuntimeError("Too few corrected events for 5-mer labels.")
+
+    # corrected event covering each segment's start sample
+    bins = np.searchsorted(corr_starts, seg_starts, side="right") - 1
+    # only full 5-mer windows: centers in [2, n_corr-3]
+    valid = (bins >= 2) & (bins <= n_corr - 3)
+    if not np.any(valid):
+        raise RuntimeError("No basecall segments overlap the corrected events.")
+    first_index = int(np.argmax(valid))
+    last_index = int(len(valid) - np.argmax(valid[::-1]))
+    sel = np.arange(first_index, last_index)
+    bins = bins[sel]
+
+    # centered 5-mers via five shifted byte columns
+    kmers = bases[bins - 2]
+    for off in (-1, 0, 1, 2):
+        kmers = np.char.add(kmers, bases[bins + off])
+    move = np.empty(len(bins), np.uint32)
+    move[0] = 1
+    move[1:] = (bins[1:] != bins[:-1]).astype(np.uint32)
+
+    segment_data = np.zeros(
+        len(sel),
+        dtype=[
+            ("mean", "float64"), ("stdv", "float64"), ("start", "<u4"),
+            ("length", "<u4"), ("kmer", "S5"), ("move", "<u4"),
+            ("cstart", "<u4"), ("clength", "<u4"),
+        ],
+    )
+    segment_data["mean"] = seg["mean"][sel]
+    segment_data["stdv"] = seg["stdv"][sel]
+    segment_data["start"] = seg_starts[sel]
+    segment_data["length"] = seg_lengths[sel]
+    segment_data["kmer"] = kmers
+    segment_data["move"] = move
+    segment_data["cstart"] = corr_starts[bins]
+    segment_data["clength"] = corr_lengths[bins]
+    return segment_data, first_index, last_index, total
+
+
 def read_label(file_path: str, skip_start: int = 10, window_n: int = 0) -> raw_labels:
     """Read a .label file (start, end, base per line).
 

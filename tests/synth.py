@@ -38,20 +38,51 @@ def synth_read(rng, n_bases=200, dwell_lo=5, dwell_hi=15, noise=5.0):
     )
 
 
-def write_fast5(path, signal, starts=None, lengths=None, bases=None, read_id="read0"):
-    """Write a single-read fast5 with optional Corrected_000 events."""
+BASECALL_EVENT_FORMAT = np.dtype(
+    [("mean", "<f8"), ("stdv", "<f8"), ("start", "<f8"), ("length", "<f8")]
+)
+
+
+def write_fast5(path, signal, starts=None, lengths=None, bases=None,
+                read_id="read0", basecall_events=False, sampling_rate=4000):
+    """Write a single-read fast5 with optional Corrected_000 events.
+
+    With ``basecall_events``, also writes an Analyses/Basecall_1D_000
+    event table (times in seconds) where every 3rd base event is split in
+    two segments — exercising get_label_segment's move annotation.
+    """
     with h5py.File(path, "w") as root:
         raw = root.create_dataset(
             f"/Raw/Reads/Read_0/Signal", shape=(len(signal),), dtype=np.int16
         )
         raw[...] = np.asarray(signal, np.int16)
         root["/Raw/Reads/Read_0"].attrs["read_id"] = read_id.encode()
+        root["/Raw/Reads/Read_0"].attrs["start_time"] = 0
         ch = root.create_dataset(
             "/UniqueGlobalKey/channel_id", shape=[], dtype=np.int16
         )
         ch.attrs["offset"] = 0.0
         ch.attrs["range"] = 1.0
         ch.attrs["digitisation"] = 1.0
+        ch.attrs["sampling_rate"] = sampling_rate
+        if basecall_events and starts is not None:
+            rows = []
+            for i, (s, l) in enumerate(zip(starts, lengths)):
+                pieces = (
+                    [(s, l // 2), (s + l // 2, l - l // 2)]
+                    if (i % 3 == 0 and l >= 2) else [(s, l)]
+                )
+                for ps, pl in pieces:
+                    chunk = np.asarray(signal[ps:ps + pl], np.float64)
+                    rows.append(
+                        (chunk.mean(), chunk.std(), ps / sampling_rate,
+                         pl / sampling_rate)
+                    )
+            ev = root.create_dataset(
+                "/Analyses/Basecall_1D_000/BaseCalled_template/Events",
+                shape=(len(rows),), dtype=BASECALL_EVENT_FORMAT,
+            )
+            ev[...] = np.asarray(rows, dtype=BASECALL_EVENT_FORMAT)
         if starts is not None:
             events = np.asarray(
                 list(zip(starts, lengths, [b.encode() for b in bases])),

@@ -151,3 +151,36 @@ def test_parse_signal_text_native_matches_numpy():
             if vals else np.zeros(0, np.float32)
         )
         np.testing.assert_array_equal(got, want, err_msg=repr(raw))
+
+
+def test_get_label_segment_annotations(tmp_path):
+    """Basecall segments get centered 5-mers, moves, corrected bounds."""
+    import numpy as np
+
+    from chiron_tpu.io.labels import get_label_segment
+    from tests.synth import synth_read, write_fast5
+
+    rng = np.random.RandomState(0)
+    seq, starts, lengths, signal = synth_read(rng, n_bases=30)
+    path = str(tmp_path / "r.fast5")
+    write_fast5(path, signal, starts, lengths, seq, basecall_events=True)
+    seg, first, last, total = get_label_segment(
+        path, "Basecall_1D_000", "BaseCalled_template",
+        corrected_group="Corrected_000",
+    )
+    assert total >= 30 and 0 < len(seg) <= total
+    # every annotated segment's 5-mer is centered on the covering event
+    for row in seg:
+        s = int(row["start"])
+        # find the corrected (= truth) event covering this start
+        i = int(np.searchsorted(starts, s, side="right")) - 1
+        assert 2 <= i <= len(seq) - 3
+        assert row["kmer"].decode() == seq[i - 2:i + 3]
+        assert int(row["cstart"]) == starts[i]
+        assert int(row["clength"]) == lengths[i]
+    # move == 1 exactly at the first segment of each corrected event
+    cstarts = seg["cstart"]
+    expect_move = np.r_[1, (cstarts[1:] != cstarts[:-1]).astype(np.uint32)]
+    np.testing.assert_array_equal(seg["move"], expect_move)
+    # split events (every 3rd) produce continuation segments with move 0
+    assert (seg["move"] == 0).any()

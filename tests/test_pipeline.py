@@ -204,3 +204,19 @@ def test_start_offset_flag(tmp_path):
     _make_model_dir(flags.model)
     result = pipeline.run(flags)
     assert result["n_files"] == 1
+
+
+def test_test_number_limits_reads(tmp_path):
+    """--test_number basecalls only the first N inputs."""
+    from chiron_tpu.eval.pipeline import evaluation
+    from tests.synth import make_training_dir
+
+    make_training_dir(os.path.join(str(tmp_path), "in"), n_files=3, n_bases=40)
+    _make_model_dir(os.path.join(str(tmp_path), "model"))
+    flags = _flags(
+        tmp_path, input=os.path.join(str(tmp_path), "in"), test_number=2
+    )
+    result = evaluation(flags)
+    assert result["n_files"] == 2
+    outs = sorted(os.listdir(os.path.join(str(tmp_path), "out", "result")))
+    assert len(outs) == 2
