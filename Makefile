@@ -1,7 +1,7 @@
 # Developer entry points (parity: reference Makefile docker targets are
 # replaced by native build + test + bench targets).
 
-.PHONY: native test bench clean
+.PHONY: native test bench clean docker
 
 native:
 	$(MAKE) -C chiron_tpu/native
@@ -11,6 +11,9 @@ test: native
 
 bench: native
 	python bench.py
+
+docker:
+	docker build -t chiron_tpu .
 
 clean:
 	$(MAKE) -C chiron_tpu/native clean

@@ -212,3 +212,22 @@ def test_methylation_alphabet_model():
     labels = jnp.asarray([[0, 4, 2], [1, 1, 3], [4, 4, 4]])
     loss = ctc_loss(logits, sl, labels, jnp.asarray([3, 3, 3]))
     assert np.all(np.isfinite(np.asarray(loss)))
+
+
+def test_merge_fasta(tmp_path):
+    """merge.sh parity: per-read fastas -> one multi-record fasta."""
+    import os
+
+    from chiron_tpu.tools.merge_fasta import merge_fasta
+
+    d = tmp_path / "result"
+    os.makedirs(str(d))
+    (d / "readB.fasta").write_text(">readB\nACGTACGT\n")
+    (d / "readA.fasta").write_text(">readA\nTTTT\n")
+    (d / "skip.fastq").write_text("@x\nAC\n+\n!!\n")
+    out = str(tmp_path / "merged" / "all.fasta")
+    n = merge_fasta(str(d), out)
+    assert n == 2
+    text = open(out).read()
+    assert ">sequence1 readA\nTTTT" in text
+    assert ">sequence2 readB\nACGTACGT" in text
