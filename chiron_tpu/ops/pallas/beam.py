@@ -59,7 +59,7 @@ def _lae(a, b):
 
 
 def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
-                 pb_s, pnb_s, h1_s, h2_s, last_s):
+                 pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
     # w is a STATIC python int (beam width baked into the program)
     t = pl.program_id(1)
     tb = pb_s.shape[1]  # lane width = batch tile
@@ -73,12 +73,18 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
         h1_s[:] = jnp.where(row == 0, 1, row * 7919 + 3)
         h2_s[:] = jnp.where(row == 0, 1, row * 104729 + 5)
         last_s[:] = jnp.full((SEG, tb), -1, jnp.int32)
+        # hash of the prefix WITHOUT the last char; garbage until a beam
+        # holds a non-empty string (never matches a real hash)
+        ph1_s[:] = row * 15485863 + 17
+        ph2_s[:] = row * 49979687 + 19
 
     pb = pb_s[:]
     pnb = pnb_s[:]
     h1 = h1_s[:]
     h2 = h2_s[:]
     last = last_s[:]
+    ph1 = ph1_s[:]
+    ph2 = ph2_s[:]
 
     lp = lp_ref[0]  # [8, TB] (5 classes padded to 8 sublanes)
     lp_blank = lp[BLANK:BLANK + 1]  # [1, TB]
@@ -94,54 +100,47 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     stay_pnb = jnp.where(live, stay_pnb, _NEG)
 
     ext_pnb = []
-    ext_h1 = []
-    ext_h2 = []
     for c in range(NLAB):
         base = jnp.where(last == c, pb, pb_or_pnb)
         e = lp[c:c + 1] + base
         ext_pnb.append(jnp.where(live, e, _NEG))
-        ext_h1.append(h1 * _H1_MULT + (c + 1))
-        ext_h2.append(h2 * _H2_MULT + (c + 1))
 
-    # ---- merge extends into equal-hash stays (pairwise, row-packed) ------
-    # All four labels share one [SEG, 4*SEG, TB] tensor: sublane group c of
-    # axis 1 holds the (ext-with-label-c, stay) comparisons; axis 0 is the
-    # extend parent. Lanes stay fully packed with batch.
+    # ---- merge extends into equal-hash stays (prefix-hash, [SEG x SEG]) --
+    # An extend of parent X with label c produces stay Y's string iff
+    # prefix(Y) == string(X) and last[Y] == c, so comparing X's FULL hash
+    # against Y's PREFIX hash (carried state) needs only a [SEG, SEG]
+    # matrix -- 4x less work than comparing against all (c, stay) pairs.
     live_i = live.astype(jnp.int32)  # i1 mid-dim inserts unsupported
-    grow = jax.lax.broadcasted_iota(jnp.int32, (SEG, 4 * SEG, tb), 1)
-    cplus1 = grow // SEG + 1                       # label c+1 per row group
-    h1_stay = jnp.concatenate([h1] * NLAB, axis=0)[None]        # [1,128,TB]
-    h2_stay = jnp.concatenate([h2] * NLAB, axis=0)[None]
-    live_stay = jnp.concatenate([live_i] * NLAB, axis=0)[None]
-    # extend-side quantities get the middle axis inserted (one relayout each)
-    h1k = (h1 * _H1_MULT)[:, None, :]
-    h2k = (h2 * _H2_MULT)[:, None, :]
-    pb_ins = pb[:, None, :]
-    pon_ins = pb_or_pnb[:, None, :]
-    last_ins = last[:, None, :]
-    lp_row = jnp.concatenate(
-        [jnp.broadcast_to(lp[c:c + 1], (SEG, tb)) for c in range(NLAB)],
-        axis=0,
-    )[None]                                         # [1, 128, TB]
-    ext_pnb_m = lp_row + jnp.where(last_ins == cplus1 - 1, pb_ins, pon_ins)
+    h1x = h1[:, None, :]            # extend parent X on axis 0
+    h2x = h2[:, None, :]
+    ph1y = ph1[None, :, :]          # stay Y on axis 1
+    ph2y = ph2[None, :, :]
+    last_y = last[None, :, :]
     eq = (
-        (h1k + cplus1 == h1_stay)
-        & (h2k + cplus1 == h2_stay)
-        & (ext_pnb_m > _NEG / 2)
+        (h1x == ph1y)
+        & (h2x == ph2y)
         & (live_i[:, None, :] > 0)
-        & (live_stay > 0)
+        & (live_i[None, :, :] > 0)
+        & (last_y >= 0)
     )
-    contrib = jnp.where(eq, ext_pnb_m, _NEG)       # [SEG, 128, TB]
-    m_all = jnp.max(contrib, axis=0)               # [128, TB] per (c, stay)
-    s_all = jnp.sum(jnp.where(eq, jnp.exp(contrib - m_all[None]), 0.0), axis=0)
-    merged_all = jnp.where(
-        m_all > _NEG / 2, m_all + jnp.log(jnp.maximum(s_all, 1e-37)), _NEG
-    )
-    merged_total = jnp.full((SEG, tb), _NEG)
-    killed = []
+    # contribution value: the extend (X, c=last[Y]) non-blank mass
+    lp_y = jnp.full((SEG, tb), 0.0)         # lp at last[Y], per stay row
     for c in range(NLAB):
-        merged_total = _lae(merged_total, merged_all[c * SEG:(c + 1) * SEG])
-        killed.append(jnp.any(eq[:, c * SEG:(c + 1) * SEG, :], axis=1))
+        lp_y = jnp.where(last == c, lp[c:c + 1], lp_y)
+    base_xy = jnp.where(
+        last[:, None, :] == last_y, pb[:, None, :], pb_or_pnb[:, None, :]
+    )
+    contrib = jnp.where(eq, lp_y[None, :, :] + base_xy, _NEG)  # [X, Y, TB]
+    m_y = jnp.max(contrib, axis=0)                             # [SEG, TB]
+    s_y = jnp.sum(jnp.where(eq, jnp.exp(contrib - m_y[None]), 0.0), axis=0)
+    merged_total = jnp.where(
+        m_y > _NEG / 2, m_y + jnp.log(jnp.maximum(s_y, 1e-37)), _NEG
+    )
+    # extend (X, c) is killed iff it merged into some stay with last == c
+    killed = [
+        jnp.any(eq & (last_y == c), axis=1)  # [SEG, TB] over stays Y
+        for c in range(NLAB)
+    ]
     stay_pnb = _lae(stay_pnb, merged_total)
 
     # ---- assemble candidate rows [CAND, TB] ------------------------------
@@ -151,12 +150,6 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     cand_pnb = jnp.concatenate(
         [stay_pnb]
         + [jnp.where(killed[c], _NEG, ext_pnb[c]) for c in range(NLAB)],
-        axis=0,
-    )
-    cand_h1 = jnp.concatenate([h1] + ext_h1, axis=0)
-    cand_h2 = jnp.concatenate([h2] + ext_h2, axis=0)
-    cand_last = jnp.concatenate(
-        [last] + [jnp.full((SEG, tb), c, jnp.int32) for c in range(NLAB)],
         axis=0,
     )
     score = _lae(cand_pb, cand_pnb)
@@ -181,30 +174,62 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     idx_all = jnp.concatenate(idx_rows, axis=0)    # [SEG, TB]
     picked_live = jnp.concatenate(live_rows, axis=0) > 0  # [SEG, TB]
 
-    # ---- top-k phase 2: one 3D one-hot gather for all slots --------------
-    # A slot with no live candidate receives a FRESH garbage hash (derived
-    # from (t, k)) — otherwise it would copy candidate 0's hash and a later
-    # merge could resurrect a duplicate prefix.
-    onehot3 = idx_all[:, None, :] == jax.lax.broadcasted_iota(
-        jnp.int32, (SEG, CAND, tb), 1
-    )  # [SEG, CAND, TB]
-
-    def pick_f(arr):
-        return jnp.sum(jnp.where(onehot3, arr[None], 0.0), axis=1)
-
-    def pick_i(arr):
-        return jnp.sum(jnp.where(onehot3, arr[None], 0), axis=1)
-
+    # ---- top-k phase 2: beam-domain one-hot gathers --------------------
+    # Each slot's (parent, char) come straight from phase 1; every state
+    # value is either the parent's (stay) or recomputable from the
+    # parent's state (extend), so all gathers run over the SEG=32 beam
+    # rows instead of the 160 candidate rows (5x less VPU work). A slot
+    # with no live candidate receives a FRESH garbage hash (derived from
+    # (t, k)) -- otherwise it would copy beam 0's hash and a later merge
+    # could resurrect a duplicate prefix.
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (SEG, tb), 0)
     valid = live & picked_live  # live == (row < w)
-    garbage1 = (t * 131 + row) * 7919 + 1000003
-    garbage2 = (t * 131 + row) * 104729 + 666
-    new_pb = jnp.where(valid, pick_f(cand_pb), _NEG)
-    new_pnb = jnp.where(valid, pick_f(cand_pnb), _NEG)
-    new_h1 = jnp.where(valid, pick_i(cand_h1), garbage1)
-    new_h2 = jnp.where(valid, pick_i(cand_h2), garbage2)
-    new_last = jnp.where(valid, pick_i(cand_last), -1)
-    parents = jnp.where(valid, idx_all % SEG, row)
+    parents = jnp.where(valid, idx_all % SEG, kcol)
     chars = jnp.where(valid, idx_all // SEG - 1, -1)
+
+    onehot_p = parents[:, None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (SEG, SEG, tb), 1
+    )  # [slot, parent, TB]
+
+    def gat_f(arr):
+        return jnp.sum(jnp.where(onehot_p, arr[None], 0.0), axis=1)
+
+    def gat_i(arr):
+        return jnp.sum(jnp.where(onehot_p, arr[None], 0), axis=1)
+
+    p_pb = gat_f(pb)
+    p_pon = gat_f(pb_or_pnb)
+    p_h1 = gat_i(h1)
+    p_h2 = gat_i(h2)
+    p_last = gat_i(last)
+    is_stay = chars < 0
+    # extend value recomputed from the parent (killed extends can never be
+    # selected: their candidate score is _NEG)
+    lp_c = jnp.full((SEG, tb), 0.0)
+    for c in range(NLAB):
+        lp_c = jnp.where(chars == c, lp[c:c + 1], lp_c)
+    ext_val = lp_c + jnp.where(p_last == chars, p_pb, p_pon)
+
+    garbage1 = (t * 131 + kcol) * 7919 + 1000003
+    garbage2 = (t * 131 + kcol) * 104729 + 666
+    new_pb = jnp.where(valid & is_stay, gat_f(stay_pb), _NEG)
+    new_pnb = jnp.where(
+        valid, jnp.where(is_stay, gat_f(stay_pnb), ext_val), _NEG
+    )
+    new_h1 = jnp.where(
+        valid, jnp.where(is_stay, p_h1, p_h1 * _H1_MULT + chars + 1), garbage1
+    )
+    new_h2 = jnp.where(
+        valid, jnp.where(is_stay, p_h2, p_h2 * _H2_MULT + chars + 1), garbage2
+    )
+    new_last = jnp.where(valid, jnp.where(is_stay, p_last, chars), -1)
+    # prefix hash: stays keep theirs; an extend's prefix IS the parent
+    new_ph1 = jnp.where(
+        valid, jnp.where(is_stay, gat_i(ph1), p_h1), kcol * 15485863 + 17
+    )
+    new_ph2 = jnp.where(
+        valid, jnp.where(is_stay, gat_i(ph2), p_h2), kcol * 49979687 + 19
+    )
 
     # ---- freeze past each row's length -----------------------------------
     active = lens_ref[:1, :] > t  # [1, TB]
@@ -213,6 +238,8 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     h1_s[:] = jnp.where(active, new_h1, h1)
     h2_s[:] = jnp.where(active, new_h2, h2)
     last_s[:] = jnp.where(active, new_last, last)
+    ph1_s[:] = jnp.where(active, new_ph1, ph1)
+    ph2_s[:] = jnp.where(active, new_ph2, ph2)
     out_parent = jnp.where(active, parents, row)
     out_char = jnp.where(active, chars, -1)
     # pack (char, parent) into one int32 word: (char+1)*SEG + parent
@@ -303,6 +330,8 @@ def beam_search_pallas(
             pltpu.VMEM((SEG, batch_tile), jnp.int32),
             pltpu.VMEM((SEG, batch_tile), jnp.int32),
             pltpu.VMEM((SEG, batch_tile), jnp.int32),
+            pltpu.VMEM((SEG, batch_tile), jnp.int32),
+            pltpu.VMEM((SEG, batch_tile), jnp.int32),
         ],
         interpret=interpret,
     )(lens_b, lp)
@@ -358,9 +387,9 @@ def beam_search_pallas(
 
 
 def _beam_wrapper(w, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
-                  pb_s, pnb_s, h1_s, h2_s, last_s):
+                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
     _beam_kernel(w, lens_ref, lp_ref, trace_ref,
-                 pb_s, pnb_s, h1_s, h2_s, last_s)
+                 pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]
     pnb_out[:] = pnb_s[:]
