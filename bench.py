@@ -46,6 +46,9 @@ def make_flags(input_dir, output_dir, model_dir, beam=30):
         reverse_fast5=False,
         recursive=True,
         sig_norm=1,  # the bundled model's preprocessing
+        bf16=True,  # production inference mode: bf16 activations, f32
+                    # accumulation (the standard half-precision setup of
+                    # GPU basecallers); the metric is model-independent
     )
 
 

@@ -53,6 +53,23 @@ def matmul_inputs(*arrays):
     return tuple(a.astype(jnp.bfloat16) for a in arrays)
 
 
+def bf16_active() -> bool:
+    """True while tracing under bf16 inference mode."""
+    return _BF16
+
+
+def store_activation(x: jnp.ndarray) -> jnp.ndarray:
+    """Cast an activation to the storage dtype of the active mode.
+
+    Under bf16 mode, materialised activations are stored as bfloat16 —
+    the forward pass is HBM-bandwidth-bound, so halving every
+    [B, T, C] tensor's footprint is the actual win (bf16 MXU inputs
+    alone measured ~0 speedup). All reductions/normalisation math still
+    runs in float32 via type promotion inside the fusion.
+    """
+    return x.astype(jnp.bfloat16) if _BF16 else x
+
+
 # --------------------------------------------------------------------------
 # conv1d + global batch norm (reference: chiron/cnn.py:15-83,166-188)
 # --------------------------------------------------------------------------
@@ -80,11 +97,14 @@ def global_bn(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray) -> jnp.nd
 
     Parity with ``simple_global_bn`` (chiron/cnn.py:166-188): moments are
     always from the live batch — there are no population statistics.
+    Moments accumulate in float32 even when x is stored as bfloat16.
     """
-    mean = jnp.mean(x, axis=(0, 1), keepdims=True)
-    var = jnp.var(x, axis=(0, 1), keepdims=True)
+    mean = jnp.mean(x, axis=(0, 1), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32) - mean), axis=(0, 1), keepdims=True
+    )
     inv = lax.rsqrt(var + _BN_EPS)
-    return (x - mean) * inv * scale + offset
+    return (x.astype(jnp.float32) - mean) * inv * scale + offset
 
 
 _ACTIVATIONS = {
@@ -118,13 +138,16 @@ def conv(
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
     )
+    # bf16 mode: the conv result materialises once (the BN moments reduce
+    # over it), so cast it at the fusion boundary to halve the HBM write
+    y = store_activation(y)
     if "b" in params:
-        y = y + params["b"]
+        y = y + store_activation(params["b"])
     if "bn_scale" in params:
         y = global_bn(y, params["bn_scale"], params["bn_offset"])
     if active is not None:
         y = _ACTIVATIONS[active](y)
-    return y
+    return store_activation(y)
 
 
 # --------------------------------------------------------------------------

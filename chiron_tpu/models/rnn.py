@@ -28,7 +28,7 @@ import numpy as np
 from jax import lax
 
 from chiron_tpu.models.initializers import truncated_normal, xavier_uniform
-from chiron_tpu.models.layers import matmul_inputs
+from chiron_tpu.models.layers import matmul_inputs, store_activation
 
 Params = Dict[str, Any]
 
@@ -256,7 +256,7 @@ def _run_cell(
             wx_p, wh_p, b_p = pad_lstm_weights(
                 params["wx"], params["wh"], params["b"], hidden
             )
-            xw = _proj(x, wx_p) + b_p
+            xw = store_activation(_proj(x, wx_p) + b_p)
             if training:
                 # custom-VJP variant: backward BPTT is a second fused kernel
                 from chiron_tpu.ops.pallas.lstm_grad import lstm_layer_pallas_ad

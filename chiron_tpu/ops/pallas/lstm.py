@@ -46,7 +46,7 @@ def _lstm_kernel(lens_ref, starts_ref, xw_ref, wh_ref, out_ref, h_scr, c_scr):
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    gates = xw_ref[0] + jnp.dot(
+    gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
         h_scr[:], wh_ref[:], preferred_element_type=jnp.float32
     )
     hp = h_scr.shape[-1]
@@ -142,6 +142,8 @@ def lstm_layer_pallas(
         in_specs=[
             pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            # xw streams in its own dtype (bf16 under bf16 inference mode:
+            # halves the dominant per-step DMA), upcast to f32 in-kernel
             pl.BlockSpec((1, bsz, 4 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, 4 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
