@@ -67,7 +67,9 @@ def _lstm_kernel(lens_ref, starts_ref, xw_ref, wh_ref, out_ref, h_scr, c_scr):
         mask_h = jnp.broadcast_to(mask[:, :1], new_h.shape)
     c_scr[:] = mask_h * new_c + (1.0 - mask_h) * c_scr[:]
     masked_h = mask_h * new_h
-    out_ref[0] = masked_h
+    # output storage dtype follows xw (bf16 under bf16 inference mode);
+    # the carried state stays float32
+    out_ref[0] = masked_h.astype(out_ref.dtype)
     h_scr[:] = masked_h + (1.0 - mask_h) * h_scr[:]
 
 
@@ -148,7 +150,7 @@ def lstm_layer_pallas(
             pl.BlockSpec((hp, 4 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_max, bsz, hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_max, bsz, hp), xw.dtype),
         scratch_shapes=[
             pltpu.VMEM((bsz, hp), jnp.float32),
             pltpu.VMEM((bsz, hp), jnp.float32),
