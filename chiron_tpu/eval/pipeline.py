@@ -382,6 +382,11 @@ def evaluation(flags) -> dict:
                     finalizer(_finalize_file, fn, acc.pop(fn), flags, timing[fn])
                 )
 
+    # bf16 mode: upload windows as bfloat16 — the first conv casts its
+    # input to bf16 anyway, so this is bit-identical to uploading f32,
+    # at half the host->device transfer
+    x_dtype = jnp.bfloat16 if config.get("bf16") else jnp.float32
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         for x, sl, widx, fnames, meta in _prefetch(
             _batch_stream(file_dir, file_list, flags, ratio)
@@ -389,7 +394,7 @@ def evaluation(flags) -> dict:
             for fn, (nwin, rtime) in meta.items():
                 counts[fn] = nwin
                 timing[fn] = (time.time() - rtime, rtime)  # (start, reading)
-            out = step_fn(params, jnp.asarray(x), jnp.asarray(sl))
+            out = step_fn(params, jnp.asarray(x, dtype=x_dtype), jnp.asarray(sl))
             inflight.append((out, widx, fnames))
             if len(inflight) > pipeline_depth:
                 drain_one(pool.submit)
