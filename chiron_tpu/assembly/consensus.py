@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import difflib
 import math
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -221,6 +222,77 @@ def _encode(segment: str) -> np.ndarray:
     return out
 
 
+_native_lib = None  # None = not tried, False = unavailable
+
+
+def _load_native():
+    """Load the native assembly kernel (chiron_tpu/native/assembly.cc)."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib or None
+    import ctypes
+    import subprocess
+
+    native_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+    )
+    lib_path = os.path.join(native_dir, "libchiron_native.so")
+    try:
+        if not os.path.exists(lib_path):
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        lib.chiron_assemble_glue.restype = ctypes.c_longlong
+        lib.chiron_assemble_glue.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+            ctypes.c_void_p,  # qs (float*) or None
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+        ]
+    except (OSError, AttributeError, subprocess.SubprocessError):
+        _native_lib = False
+        return None
+    _native_lib = lib
+    return lib
+
+
+def _native_assembly(bpreads, qs_vals, kernel):
+    """One native pass over all windows (glue/stick kernels only).
+
+    Returns (consensus, consensus_qs) or None when the native library is
+    unavailable. Bit-identical to the Python loop (same scoring, same
+    float64 accumulation order).
+    """
+    lib = _load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    blob = "".join(bpreads).encode()
+    offsets = np.zeros(len(bpreads) + 1, np.int64)
+    np.cumsum([len(b) for b in bpreads], out=offsets[1:])
+    qs_arr = None
+    qs_ptr = None
+    if qs_vals is not None:
+        qs_arr = np.ascontiguousarray(qs_vals, np.float32)
+        qs_ptr = qs_arr.ctypes.data_as(ctypes.c_void_p)
+    cap = int(offsets[-1]) + 1
+    while True:
+        consensus = np.zeros((4, cap))
+        consensus_qs = np.zeros((4, cap))
+        n = lib.chiron_assemble_glue(
+            blob, offsets, len(bpreads), qs_ptr,
+            1 if kernel == "stick" else 0, consensus, consensus_qs, cap,
+        )
+        if n >= 0:
+            return consensus[:, :n], consensus_qs[:, :n]
+        cap = -int(n)
+
+
 def simple_assembly(
     bpreads: Sequence[str],
     jump_step_ratio: float,
@@ -228,6 +300,10 @@ def simple_assembly(
     kernel: str = "global",
 ) -> np.ndarray:
     """Stitch window reads into a [4, L] base-count consensus matrix."""
+    if kernel in ("glue", "stick"):
+        native = _native_assembly(bpreads, None, kernel)
+        if native is not None:
+            return native[0]
     census_len = 1000
     consensus = np.zeros((4, census_len))
     pos = 0
@@ -263,6 +339,13 @@ def simple_assembly_qs(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Same as simple_assembly, also accumulating per-base quality mass."""
     assert len(bpreads) == len(qs_list)
+    if kernel in ("glue", "stick"):
+        qs_vals = np.asarray(
+            [float(np.asarray(q).ravel()[0]) for q in qs_list], np.float32
+        )
+        native = _native_assembly(bpreads, qs_vals, kernel)
+        if native is not None:
+            return native
     census_len = 1000
     consensus = np.zeros((4, census_len))
     consensus_qs = np.zeros((4, census_len))

@@ -84,3 +84,39 @@ def test_negative_displacement_clipping():
     # (reference add_count behaviour, easy_assembler.py:381-388).
     consensus = simple_assembly(["AC", "TTACGT"], 1.0, kernel="stick")
     assert consensus.shape[1] >= 2
+
+
+def test_native_assembly_matches_python():
+    """C++ glue/stick assembly is bit-identical to the Python loop."""
+    import numpy as np
+
+    from chiron_tpu.assembly import consensus as A
+
+    lib = A._load_native()
+    assert lib is not None, "native assembly should build here"
+    rng = np.random.RandomState(0)
+    bases = "ACGT"
+    # overlapping windows from one underlying sequence, with errors
+    seq = "".join(bases[i] for i in rng.randint(0, 4, 3000))
+    windows = []
+    for s in range(0, 2500, 95):
+        w = list(seq[s:s + 100])
+        for _ in range(3):  # a few random errors
+            w[rng.randint(0, len(w))] = bases[rng.randint(0, 4)]
+        windows.append("".join(w))
+    qs = np.asarray([[float(rng.rand())] for _ in windows])
+    for kernel in ("glue", "stick"):
+        nat_c, nat_q = A._native_assembly(
+            windows, np.asarray([q[0] for q in qs], np.float32), kernel
+        )
+        # force the python path by stubbing the lib out
+        saved = A._native_lib
+        A._native_lib = False
+        try:
+            py_c, py_q = A.simple_assembly_qs(windows, qs, 0.95, kernel=kernel)
+            py_c2 = A.simple_assembly(windows, 0.95, kernel=kernel)
+        finally:
+            A._native_lib = saved
+        np.testing.assert_array_equal(nat_c, py_c)
+        np.testing.assert_allclose(nat_q, py_q, rtol=1e-6, atol=1e-9)
+        np.testing.assert_array_equal(nat_c, py_c2)
