@@ -56,9 +56,13 @@ def ctc_loss(
     skip_ok = (ex != blank) & (ex != ex_prev2)  # [B, S]
     skip_add = jnp.where(skip_ok, 0.0, _NEG_INF)
 
-    # Emission log-probs per slot per time: gather lp at expanded labels.
-    # [B, T, S]
-    emit = jnp.take_along_axis(lp, ex[:, None, :].repeat(t_max, axis=1), axis=-1)
+    # Emission log-probs per slot per time, [B, T, S]. Expressed as a
+    # one-hot einsum rather than a gather: the gather's GRADIENT is a
+    # scatter-add over [B, T, S] (hundreds of ms on TPU), while the
+    # einsum's gradient is another batched matmul. Values are bitwise
+    # identical (each sum has exactly one nonzero term).
+    onehot = (ex[:, :, None] == jnp.arange(n_class)[None, None, :]).astype(lp.dtype)
+    emit = jnp.einsum("btc,bsc->bts", lp, onehot)
 
     s_idx = jnp.arange(s)[None, :]  # [1, S]
     # Slots beyond 2*label_len(+1) are invalid.
