@@ -138,3 +138,38 @@ def test_ctc_loss_matches_optax():
     label_pad = (jnp.arange(u)[None, :] >= ll[:, None]).astype(jnp.float32)
     theirs = optax.ctc_loss(logits_o, logit_pad, labels + 1, label_pad)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), rtol=1e-4)
+
+
+def test_ctc_custom_vjp_matches_autodiff():
+    """Analytic alpha-beta gradient == autodiff through the forward scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import importlib
+
+    M = importlib.import_module("chiron_tpu.ops.ctc_loss")
+
+    rng = np.random.RandomState(0)
+    b, t, u, c = 6, 20, 7, 5
+    logits = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+    sl = jnp.asarray([t, t, 15, 9, 20, 3], jnp.int32)
+    labels = jnp.asarray(rng.randint(0, 4, size=(b, u)), jnp.int32)
+    # include: full labels, short labels, zero labels, label longer than
+    # logits (ignore case: sl=3 < ll=7)
+    ll = jnp.asarray([u, 4, 2, 1, 0, 7], jnp.int32)
+    w = jnp.asarray(rng.rand(b).astype(np.float32))  # random cotangent
+
+    g_custom = jax.grad(
+        lambda lg: jnp.sum(M.ctc_loss(lg, sl, labels, ll) * w)
+    )(logits)
+    g_auto = jax.grad(
+        lambda lg: jnp.sum(M._ctc_forward(lg, sl, labels, ll)[0] * w)
+    )(logits)
+    np.testing.assert_allclose(
+        np.asarray(g_custom), np.asarray(g_auto), rtol=2e-4, atol=2e-6
+    )
+    # values identical too
+    v1 = M.ctc_loss(logits, sl, labels, ll)
+    v2 = M._ctc_forward(logits, sl, labels, ll)[0]
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
