@@ -350,7 +350,11 @@ def evaluation(flags) -> dict:
     total_windows = 0
 
     inflight: deque = deque()
-    pipeline_depth = 2
+    # Each finished batch costs one device->host round trip (~27ms latency on
+    # the dev tunnel). Readbacks are issued from a small thread pool so that
+    # several round trips are in flight at once instead of serialising in the
+    # consumer loop; results are still drained in dispatch order.
+    pipeline_depth = 6
 
     # label -> ASCII lookup; decoding a window is one fancy-index +
     # tobytes (5x faster than a per-base join loop at B=400)
@@ -365,8 +369,8 @@ def evaluation(flags) -> dict:
 
     def drain_one(finalizer):
         nonlocal total_windows
-        packed, widx, fnames = inflight.popleft()
-        decoded, lengths, score, prob = unpack_step_outputs(np.asarray(packed))
+        packed_fut, widx, fnames = inflight.popleft()
+        decoded, lengths, score, prob = unpack_step_outputs(packed_fut.result())
         for i in range(len(fnames)):
             if widx[i] < 0:
                 continue
@@ -387,7 +391,8 @@ def evaluation(flags) -> dict:
     # at half the host->device transfer
     x_dtype = jnp.bfloat16 if config.get("bf16") else jnp.float32
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    with ThreadPoolExecutor(max_workers=1) as pool, \
+            ThreadPoolExecutor(max_workers=4) as readback_pool:
         for x, sl, widx, fnames, meta in _prefetch(
             _batch_stream(file_dir, file_list, flags, ratio)
         ):
@@ -395,7 +400,7 @@ def evaluation(flags) -> dict:
                 counts[fn] = nwin
                 timing[fn] = (time.time() - rtime, rtime)  # (start, reading)
             out = step_fn(params, jnp.asarray(x, dtype=x_dtype), jnp.asarray(sl))
-            inflight.append((out, widx, fnames))
+            inflight.append((readback_pool.submit(np.asarray, out), widx, fnames))
             if len(inflight) > pipeline_depth:
                 drain_one(pool.submit)
         while inflight:
