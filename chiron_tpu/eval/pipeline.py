@@ -55,30 +55,55 @@ def path_prob(logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(top2[..., 0] - top2[..., 1], axis=-1)
 
 
-def pack_step_outputs(decoded, lengths, score, prob):
-    """Pack the step outputs into ONE uint8 buffer [B, T_out+12].
+def pack_step_outputs(decoded, lengths, score, prob, two_bit: bool = True):
+    """Pack the step outputs into ONE uint8 buffer.
 
     Each host readback costs a full synchronous round trip (~27ms through
-    the dev tunnel; a sync point on any transport), so the decoded labels
-    (int8: values in [-1, 3]) and the three per-window scalars are packed
+    the dev tunnel; a sync point on any transport), so everything is packed
     into a single array and unpacked host-side by unpack_step_outputs.
+    With the standard 4-label alphabet every decoded label fits 2 bits, so
+    4 bases/byte quarters the dominant readback payload ([B, ceil(T/4)+12]);
+    5+-label alphabets (e.g. ACGTX methylation) use ``two_bit=False`` and
+    the plain int8 layout [B, T+12]. Positions past each window's length
+    are zeroed / padding (never read by the consumer).
     """
-    b = decoded.shape[0]
-    dec8 = jax.lax.bitcast_convert_type(decoded.astype(jnp.int8), jnp.uint8)
+    b, t = decoded.shape
+    if two_bit:
+        t4 = -(-t // 4) * 4
+        d = jnp.maximum(decoded, 0).astype(jnp.uint8)
+        d = jnp.pad(d, ((0, 0), (0, t4 - t)))
+        d = d.reshape(b, t4 // 4, 4)
+        weights = jnp.asarray([1, 4, 16, 64], jnp.uint8)
+        dec8 = jnp.sum(d * weights, axis=-1, dtype=jnp.uint8)
+    else:
+        dec8 = jax.lax.bitcast_convert_type(decoded.astype(jnp.int8), jnp.uint8)
     len8 = jax.lax.bitcast_convert_type(lengths.astype(jnp.int32), jnp.uint8)
     sc8 = jax.lax.bitcast_convert_type(score.astype(jnp.float32), jnp.uint8)
     pr8 = jax.lax.bitcast_convert_type(prob.astype(jnp.float32), jnp.uint8)
     return jnp.concatenate([dec8, len8, sc8, pr8], axis=1)
 
 
-def unpack_step_outputs(buf: np.ndarray):
-    """Host-side inverse of pack_step_outputs; buf [B, T+12] uint8."""
+def unpack_step_outputs(buf: np.ndarray, two_bit: bool = True):
+    """Host-side inverse of pack_step_outputs."""
     t = buf.shape[1] - 12
-    decoded = buf[:, :t].view(np.int8)
+    if two_bit:
+        packed = buf[:, :t]
+        decoded = np.empty((buf.shape[0], t * 4), np.uint8)
+        decoded[:, 0::4] = packed & 3
+        decoded[:, 1::4] = (packed >> 2) & 3
+        decoded[:, 2::4] = (packed >> 4) & 3
+        decoded[:, 3::4] = (packed >> 6) & 3
+    else:
+        decoded = buf[:, :t].view(np.int8)
     lengths = np.ascontiguousarray(buf[:, t:t + 4]).view(np.int32)[:, 0]
     score = np.ascontiguousarray(buf[:, t + 4:t + 8]).view(np.float32)[:, 0]
     prob = np.ascontiguousarray(buf[:, t + 8:t + 12]).view(np.float32)[:, 0]
     return decoded, lengths, score, prob
+
+
+def _two_bit_labels(config) -> bool:
+    """2-bit label packing is only valid for <=4 non-blank classes."""
+    return C.class_n(config) - 1 <= 4
 
 
 def make_decode_step(config, segment_len: int, beam: int, batch_size: int,
@@ -127,7 +152,8 @@ def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
             decoded, lengths, score = beam_search_decode(
                 logits, seq_len, beam_width=beam
             )
-        return pack_step_outputs(decoded, lengths, score, prob)
+        return pack_step_outputs(decoded, lengths, score, prob,
+                                 two_bit=_two_bit_labels(config))
 
     del t_out
     if n_devices > 1:
@@ -370,7 +396,9 @@ def evaluation(flags) -> dict:
     def drain_one(finalizer):
         nonlocal total_windows
         packed_fut, widx, fnames = inflight.popleft()
-        decoded, lengths, score, prob = unpack_step_outputs(packed_fut.result())
+        decoded, lengths, score, prob = unpack_step_outputs(
+            packed_fut.result(), two_bit=_two_bit_labels(config)
+        )
         for i in range(len(fnames)):
             if widx[i] < 0:
                 continue
@@ -391,15 +419,22 @@ def evaluation(flags) -> dict:
     # at half the host->device transfer
     x_dtype = jnp.bfloat16 if config.get("bf16") else jnp.float32
 
+    def _upload(stream):
+        # host->device upload runs in the producer thread (via _prefetch), so
+        # its round trip overlaps with the consumer loop's dispatch/drain
+        for x, sl, widx, fnames, meta in stream:
+            yield (jnp.asarray(x, dtype=x_dtype), jnp.asarray(sl),
+                   widx, fnames, meta)
+
     with ThreadPoolExecutor(max_workers=1) as pool, \
             ThreadPoolExecutor(max_workers=4) as readback_pool:
         for x, sl, widx, fnames, meta in _prefetch(
-            _batch_stream(file_dir, file_list, flags, ratio)
+            _upload(_batch_stream(file_dir, file_list, flags, ratio))
         ):
             for fn, (nwin, rtime) in meta.items():
                 counts[fn] = nwin
                 timing[fn] = (time.time() - rtime, rtime)  # (start, reading)
-            out = step_fn(params, jnp.asarray(x, dtype=x_dtype), jnp.asarray(sl))
+            out = step_fn(params, x, sl)
             inflight.append((readback_pool.submit(np.asarray, out), widx, fnames))
             if len(inflight) > pipeline_depth:
                 drain_one(pool.submit)

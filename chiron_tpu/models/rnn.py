@@ -283,6 +283,29 @@ def _run_cell(
     raise ValueError(f"Cell type unrecognized: {cell_type}")
 
 
+def _fused_bilstm(layer: Params, x_fw, x_bw, lengths, starts):
+    """Both directions of one BiLSTM layer in ONE Pallas program.
+
+    x_bw must already be in flipped time order; returns (h_fw, h_bw) with
+    h_bw still flipped. Halves the per-step grid overhead vs two
+    single-direction kernels (the recurrent matmuls at H=128 are far below
+    the MXU roofline, so the sequential bookkeeping dominates).
+    """
+    from chiron_tpu.ops.pallas.lstm import bilstm_layer_pallas, pad_lstm_weights
+
+    hidden = layer["fw"]["wh"].shape[0]
+    wxf, whf, bf = pad_lstm_weights(
+        layer["fw"]["wx"], layer["fw"]["wh"], layer["fw"]["b"], hidden
+    )
+    wxb, whb, bb = pad_lstm_weights(
+        layer["bw"]["wx"], layer["bw"]["wh"], layer["bw"]["b"], hidden
+    )
+    xwf = store_activation(_proj(x_fw, wxf) + bf)
+    xwb = store_activation(_proj(x_bw, wxb) + bb)
+    return bilstm_layer_pallas(xwf, xwb, whf, whb, lengths, starts,
+                               hidden=hidden)
+
+
 def _init_cell(cell_type: str, key, c_in: int, hidden: int) -> Params:
     if cell_type == "BNLSTM":
         return init_bnlstm_cell(key, c_in, hidden)
@@ -384,21 +407,30 @@ def birnn_stack(
     def rev_out(arr):
         return jnp.flip(arr, axis=0) if flip else reverse_sequence(arr, lengths)
 
+    fused = flip and cell_type == "LSTM"
     if layer_type == "rna":
         fw = xt
         bw = rev_in(xt)
         for layer in params["layers"]:
-            fw = _run_cell(cell_type, layer["fw"], fw, mask, lengths, training)
-            bw = _run_cell(cell_type, layer["bw"], bw, mask, lengths, training,
-                           starts=starts)
+            if fused:
+                fw, bw = _fused_bilstm(layer, fw, bw, lengths, starts)
+            else:
+                fw = _run_cell(cell_type, layer["fw"], fw, mask, lengths,
+                               training)
+                bw = _run_cell(cell_type, layer["bw"], bw, mask, lengths,
+                               training, starts=starts)
         out = jnp.concatenate([fw, rev_out(bw)], axis=-1)
     else:
         out = xt
         for layer in params["layers"]:
-            fw = _run_cell(cell_type, layer["fw"], out, mask, lengths, training)
-            bw_in = rev_in(out)
-            bw = _run_cell(cell_type, layer["bw"], bw_in, mask, lengths,
-                           training, starts=starts)
+            if fused:
+                fw, bw = _fused_bilstm(layer, out, rev_in(out), lengths,
+                                       starts)
+            else:
+                fw = _run_cell(cell_type, layer["fw"], out, mask, lengths,
+                               training)
+                bw = _run_cell(cell_type, layer["bw"], rev_in(out), mask,
+                               lengths, training, starts=starts)
             out = jnp.concatenate([fw, rev_out(bw)], axis=-1)
     return jnp.transpose(out, (1, 0, 2))  # back to [B, T, 2H]
 

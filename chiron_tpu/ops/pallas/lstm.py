@@ -160,6 +160,130 @@ def lstm_layer_pallas(
     return out[:, :, :h]
 
 
+TIME_CHUNK = 8
+
+
+def _bilstm_kernel(chunk, lens_ref, starts_ref, xwf_ref, xwb_ref, whf_ref,
+                   whb_ref, outf_ref, outb_ref, hf_scr, cf_scr, hb_scr,
+                   cb_scr):
+    """Both directions of one BiLSTM layer, ``chunk`` timesteps per grid step.
+
+    The forward rows run with start 0; the backward rows consume the
+    time-FLIPPED sequence with per-row start T-len (models/rnn.py
+    _flip_reversal). Fusing the two directions into one program and
+    chunking the time axis amortises the per-grid-iteration bookkeeping,
+    which dominates over the small MXU matmuls at H=128 (same trick as the
+    beam traceback kernel's TRACE_CHUNK).
+    """
+    tc = pl.program_id(0)
+
+    @pl.when(tc == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+        cb_scr[:] = jnp.zeros_like(cb_scr)
+
+    hp = hf_scr.shape[-1]
+
+    def half(j, t, xw_ref, wh_ref, h_scr, c_scr, out_ref, active):
+        gates = xw_ref[j].astype(jnp.float32) + jnp.dot(
+            h_scr[:], wh_ref[:], preferred_element_type=jnp.float32
+        )
+        i = gates[:, 0 * hp:1 * hp]
+        g = gates[:, 1 * hp:2 * hp]
+        f = gates[:, 2 * hp:3 * hp]
+        o = gates[:, 3 * hp:4 * hp]
+        new_c = (jax.nn.sigmoid(f + _FORGET_BIAS) * c_scr[:]
+                 + jax.nn.sigmoid(i) * jnp.tanh(g))
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        mask = active.astype(new_h.dtype)
+        if hp != LANE:
+            mask = jnp.broadcast_to(mask[:, :1], new_h.shape)
+        c_scr[:] = mask * new_c + (1.0 - mask) * c_scr[:]
+        masked_h = mask * new_h
+        out_ref[j] = masked_h.astype(out_ref.dtype)
+        h_scr[:] = masked_h + (1.0 - mask) * h_scr[:]
+
+    lens = lens_ref[:]
+    starts = starts_ref[:]
+    for j in range(chunk):
+        t = tc * chunk + j
+        half(j, t, xwf_ref, whf_ref, hf_scr, cf_scr, outf_ref, lens > t)
+        half(j, t, xwb_ref, whb_ref, hb_scr, cb_scr, outb_ref,
+             (starts <= t) & (starts + lens > t))
+
+
+@functools.partial(jax.jit, static_argnames=("hidden", "interpret"))
+def bilstm_layer_pallas(
+    xw_fw: jnp.ndarray,
+    xw_bw: jnp.ndarray,
+    wh_fw: jnp.ndarray,
+    wh_bw: jnp.ndarray,
+    lengths: jnp.ndarray,
+    starts_bw: jnp.ndarray,
+    hidden: int | None = None,
+    interpret: bool = False,
+):
+    """Fused bidirectional LSTM layer (inference path).
+
+    Args mirror lstm_layer_pallas, duplicated per direction; ``xw_bw`` must
+    already be the time-flipped projection and ``starts_bw`` = T - len.
+    Returns (hs_fw, hs_bw) each [T, B, hidden]; hs_bw is in flipped time
+    order (caller flips back).
+    """
+    t_max, bsz, four_hp = xw_fw.shape
+    hp = four_hp // 4
+    h = hidden if hidden is not None else hp
+    if hp != _round_up(h, LANE) or wh_fw.shape != (hp, 4 * hp):
+        raise ValueError("weights must be in padded layout (pad_lstm_weights)")
+
+    # pad time to a multiple of TIME_CHUNK; padded steps are inactive for
+    # every row (fw: t >= len; bw: t >= start+len = T) so state is frozen
+    # and the padded outputs (zero) are sliced off below
+    tc = TIME_CHUNK
+    t_pad = -(-t_max // tc) * tc
+    if t_pad != t_max:
+        pad = ((0, t_pad - t_max), (0, 0), (0, 0))
+        xw_fw = jnp.pad(xw_fw, pad)
+        xw_bw = jnp.pad(xw_bw, pad)
+
+    lens_b = jnp.broadcast_to(lengths[:, None], (bsz, LANE)).astype(jnp.int32)
+    starts_b = jnp.broadcast_to(starts_bw[:, None], (bsz, LANE)).astype(jnp.int32)
+
+    outf, outb = pl.pallas_call(
+        functools.partial(_bilstm_kernel, tc),
+        grid=(t_pad // tc,),
+        in_specs=[
+            pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, bsz, 4 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, bsz, 4 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 4 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 4 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, bsz, hp), xw_fw.dtype),
+            jax.ShapeDtypeStruct((t_pad, bsz, hp), xw_bw.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bsz, hp), jnp.float32),
+            pltpu.VMEM((bsz, hp), jnp.float32),
+            pltpu.VMEM((bsz, hp), jnp.float32),
+            pltpu.VMEM((bsz, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(lens_b, starts_b, xw_fw, xw_bw, wh_fw, wh_bw)
+    return outf[:t_max, :, :h], outb[:t_max, :, :h]
+
+
 def lstm_scan_reference(params, xw, mask):
     """XLA-scan reference used for cross-checking (rnn._lstm_scan clone)."""
     from chiron_tpu.models.rnn import _lstm_scan

@@ -74,7 +74,10 @@ class InferenceEngine:
                 packed = self._step(
                     self.params, jnp.asarray(bx), jnp.asarray(bl)
                 )
-            dec, dlen, score, prob = unpack_step_outputs(np.asarray(packed))
+            dec, dlen, score, prob = unpack_step_outputs(
+                np.asarray(packed),
+                two_bit=C.class_n(self.config) - 1 <= 4,
+            )
             take = self.batch_size - pad
             out["decoded"].append(dec[:take].astype(np.int32))
             out["decoded_length"].append(dlen[:take])

@@ -73,3 +73,68 @@ def test_pallas_lstm_flip_starts_equals_reverse_sequence():
     np.testing.assert_allclose(
         np.asarray(out_b), np.asarray(out_a), rtol=2e-5, atol=2e-5
     )
+
+
+def test_pallas_bilstm_fused_matches_two_calls():
+    """Fused bidirectional kernel == two single-direction kernels."""
+    from chiron_tpu.ops.pallas.lstm import bilstm_layer_pallas
+
+    rng = np.random.RandomState(7)
+    t, b, h, c_in = 12, 8, 100, 8
+    lengths = jnp.asarray([t, t, 9, 5, 3, 1, 0, 7], jnp.int32)
+    x = jnp.asarray(rng.randn(t, b, c_in), jnp.float32)
+    cells = []
+    for _ in range(2):
+        wx = jnp.asarray(rng.randn(c_in, 4 * h) * 0.3, jnp.float32)
+        wh = jnp.asarray(rng.randn(h, 4 * h) * 0.3, jnp.float32)
+        bias = jnp.asarray(rng.randn(4 * h) * 0.1, jnp.float32)
+        cells.append(pad_lstm_weights(wx, wh, bias, h))
+    (wxf, whf, bf), (wxb, whb, bb) = cells
+
+    starts = t - lengths
+    xf = x
+    xb = jnp.flip(x, axis=0)
+    ref_f = lstm_layer_pallas(xf @ wxf + bf, whf, lengths, hidden=h,
+                              interpret=True)
+    ref_b = lstm_layer_pallas(xb @ wxb + bb, whb, lengths, hidden=h,
+                              starts=starts, interpret=True)
+    out_f, out_b = bilstm_layer_pallas(
+        xf @ wxf + bf, xb @ wxb + bb, whf, whb, lengths, starts,
+        hidden=h, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("layer_type", ["normal", "rna"])
+def test_fused_bilstm_stack_matches_scan_stack(layer_type):
+    """birnn_stack fused flip path == the XLA scan path, full stack."""
+    from unittest import mock
+
+    from chiron_tpu.models import rnn as rnn_mod
+
+    rng = np.random.RandomState(9)
+    b, t, c_in, h = 8, 12, 6, 100
+    key = jax.random.PRNGKey(0)
+    params = rnn_mod.init_birnn_stack(key, c_in, h, 2, "LSTM", layer_type)
+    x = jnp.asarray(rng.randn(b, t, c_in), jnp.float32)
+    lengths = jnp.asarray([t, t, 9, 5, 3, 1, 0, 7], jnp.int32)
+
+    ref = rnn_mod.birnn_stack(params, x, lengths, "LSTM", layer_type)
+
+    # force the fused flip path with interpreter-mode kernels
+    from chiron_tpu.ops.pallas import lstm as klstm
+
+    fused_bilstm = klstm.bilstm_layer_pallas
+
+    def bilstm_interp(*args, **kw):
+        kw["interpret"] = True
+        return fused_bilstm(*args, **kw)
+
+    with mock.patch.object(rnn_mod, "_use_pallas", lambda: True), \
+            mock.patch.object(klstm, "bilstm_layer_pallas", bilstm_interp):
+        out = rnn_mod.birnn_stack(params, x, lengths, "LSTM", layer_type)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

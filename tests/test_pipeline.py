@@ -220,3 +220,36 @@ def test_test_number_limits_reads(tmp_path):
     assert result["n_files"] == 2
     outs = sorted(os.listdir(os.path.join(str(tmp_path), "out", "result")))
     assert len(outs) == 2
+
+
+def test_pack_unpack_roundtrip():
+    """pack_step_outputs <-> unpack_step_outputs, 2-bit and int8 layouts.
+
+    Decoded windows have label values only in [0, nlab) before each
+    window's length and -1 padding after it (ops/ctc_greedy.compact_labels);
+    the 2-bit layout zeroes the padding, which the consumer never reads.
+    """
+    import jax.numpy as jnp
+
+    from chiron_tpu.eval.pipeline import pack_step_outputs, unpack_step_outputs
+
+    rng = np.random.RandomState(0)
+    for t in (400, 398, 57):
+        dec = rng.randint(0, 4, (8, t)).astype(np.int32)
+        lens = rng.randint(0, t, 8).astype(np.int32)
+        for i in range(8):
+            dec[i, lens[i]:] = -1
+        score = rng.randn(8).astype(np.float32)
+        prob = rng.randn(8).astype(np.float32)
+        for two_bit in (True, False):
+            buf = np.asarray(
+                pack_step_outputs(
+                    jnp.asarray(dec), jnp.asarray(lens), jnp.asarray(score),
+                    jnp.asarray(prob), two_bit=two_bit,
+                )
+            )
+            d2, l2, s2, p2 = unpack_step_outputs(buf, two_bit=two_bit)
+            assert (l2 == lens).all()
+            assert np.allclose(s2, score) and np.allclose(p2, prob)
+            for i in range(8):
+                assert (d2[i, :lens[i]] == dec[i, :lens[i]]).all()
