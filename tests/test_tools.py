@@ -231,3 +231,16 @@ def test_merge_fasta(tmp_path):
     text = open(out).read()
     assert ">sequence1 readA\nTTTT" in text
     assert ">sequence2 readB\nACGTACGT" in text
+
+
+def test_label_slice(tmp_path):
+    """Per-label signal slicing (parity: utils/cmle_training_preprocess.pl)."""
+    from chiron_tpu.tools.label_slice import slice_labels
+
+    (tmp_path / "r.signal").write_text("10 20 30 40 50 60\n")
+    (tmp_path / "r.label").write_text("0 3 A\n3 5 C\n")
+    out = tmp_path / "out.tsv"
+    assert slice_labels(str(tmp_path / "r"), str(out)) == 2
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert rows[0][:5] == ["A", "0", "3", "6", "10,20,30"]
+    assert rows[1][:5] == ["C", "3", "5", "6", "40,50"]
