@@ -186,6 +186,10 @@ def main(arguments=None):
                               help="Model structure configure json file.")
     parser_train.add_argument("-k", "--k_mer", default=1, type=int,
                               help="Output k-mer size")
+    parser_train.add_argument("-f", "--tfrecord", default=None,
+                              help="Train from a TFRecord file (relative to "
+                                   "data_dir) instead of .signal/.label pairs "
+                                   "(reference: entry.py:116-117).")
     parser_train.add_argument("--retrain", dest="retrain", action="store_true",
                               help="Set retrain to true")
     parser_train.add_argument("--resample_after_epoch", type=int, default=0,

@@ -193,31 +193,42 @@ def get_label_segment(
     return segment_data, first_index, last_index, total
 
 
-def read_label(file_path: str, skip_start: int = 10, window_n: int = 0) -> raw_labels:
-    """Read a .label file (start, end, base per line).
+def label_from_rows(rows, skip_start: int = 10, window_n: int = 0) -> raw_labels:
+    """Build labels from (start, end, base_char) rows.
 
-    Parity: chiron/chiron_input.py:570-593 (k-mer window encoding included).
+    Parity: chiron/chiron_input.py:570-593 / 596-627 (skip_start trimming
+    at both ends + k-mer window encoding). Shared by the .label file reader
+    and the TFRecord reader.
     """
     start, length, base, all_base = [], [], [], []
     if skip_start < window_n:
         skip_start = window_n
-    with open(file_path) as f:
-        lines = f.readlines()
-    for line in lines:
-        record = line.split()
-        all_base.append(base2ind(record[2]))
+    for row in rows:
+        all_base.append(base2ind(row[2]))
     file_len = len(all_base)
-    for count, line in enumerate(lines):
-        record = line.split()
+    for count, row in enumerate(rows):
         if count < skip_start or count > (file_len - skip_start - 1):
             continue
-        start.append(int(record[0]))
-        length.append(int(record[1]) - int(record[0]))
+        start.append(int(row[0]))
+        length.append(int(row[1]) - int(row[0]))
         k_mer = 0
         for i in range(window_n * 2 + 1):
             k_mer = k_mer * 4 + all_base[count + i - window_n]
         base.append(k_mer)
     return raw_labels(start=start, length=length, base=base)
+
+
+def read_label(file_path: str, skip_start: int = 10, window_n: int = 0) -> raw_labels:
+    """Read a .label file (start, end, base per line).
+
+    Parity: chiron/chiron_input.py:570-593 (k-mer window encoding included).
+    """
+    rows = []
+    with open(file_path) as f:
+        for line in f:
+            record = line.split()
+            rows.append((record[0], record[1], record[2]))
+    return label_from_rows(rows, skip_start=skip_start, window_n=window_n)
 
 
 def read_raw(

@@ -168,14 +168,29 @@ class Dataset:
 
 
 def load_dataset(
-    data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10, sig_norm=None
+    data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10, sig_norm=None,
+    tfrecord=None,
 ) -> Dataset:
-    """Load training segments from .signal/.label pairs OR a .bin folder.
+    """Load training segments from .signal/.label pairs, a .bin folder, OR
+    a TFRecord file.
 
     A folder with a ``data.meta`` descriptor is the fixed-record .bin batch
-    layout (file_batch output, chiron_queue_input's source); anything else
-    is walked for .signal/.label pairs.
+    layout (file_batch output, chiron_queue_input's source); ``tfrecord``
+    selects the reference's TFRecord training layout (chiron_input.py:318);
+    anything else is walked for .signal/.label pairs.
     """
+    if tfrecord:
+        from chiron_tpu.io.tfrecord import read_tfrecord_data_sets
+
+        path = tfrecord if os.path.isabs(tfrecord) else os.path.join(
+            data_dir, tfrecord
+        )
+        arrays = read_tfrecord_data_sets(
+            path, seq_length=seq_len, k_mer=k_mer,
+            max_segments_num=max_segments, skip_start=skip_start,
+            sig_norm=sig_norm,
+        )
+        return Dataset(*arrays)
     if os.path.exists(os.path.join(data_dir, "data.meta")):
         from chiron_tpu.io.binfmt import read_bin_folder
 
@@ -229,6 +244,7 @@ def train(hparams) -> Dict[str, Any]:
         k_mer=int(getattr(hparams, "k_mer", 1)),
         max_segments=getattr(hparams, "segments_num", None),
         sig_norm=sig_norm,
+        tfrecord=getattr(hparams, "tfrecord", None),
     )
     if dataset.n == 0:
         raise ValueError(f"No training segments found under {hparams.data_dir}")
@@ -277,6 +293,7 @@ def train(hparams) -> Dict[str, Any]:
                 max_segments=getattr(hparams, "segments_num", None),
                 skip_start=skip_start,
                 sig_norm=sig_norm,
+                tfrecord=getattr(hparams, "tfrecord", None),
             )
         batch = dataset.next_batch(batch_size)
         batch["seq_len"] = np.round(batch["seq_len"] / ratio).astype(np.int32)
