@@ -155,6 +155,10 @@ def main(arguments=None):
                                help="The minimum number of labels that has to be in each read.")
     parser_export.add_argument("--n_errors", default=5, type=int,
                                help="The number of errors that are going to be recorded.")
+    parser_export.add_argument("-f", "--tffile", default=None,
+                               help="Also bundle the extracted reads into this "
+                                    "TFRecord file (reference flag entry.py:99, "
+                                    "implemented here).")
     parser_export.set_defaults(func=export)
 
     # ---- train -----------------------------------------------------------

@@ -55,7 +55,8 @@ def extract_file(input_file: str, flags):
     return "Read has too few nucleotides output", (None, None), (None, None, None)
 
 
-def extract(root_folder: str, output_folder: str, flags) -> Counter:
+def extract(root_folder: str, output_folder: str, flags,
+            tf_reads: list | None = None) -> Counter:
     run_record: Counter = Counter()
     batch_i = 1
     if not os.path.isdir(root_folder):
@@ -75,6 +76,13 @@ def extract(root_folder: str, output_folder: str, flags) -> Counter:
                 batch_i += 1
                 batch_folder = _make_batch_folder(output_folder, batch_i)
             if state == SUCCEED_TAG:
+                if tf_reads is not None:
+                    # TFRecord stores the DIGITAL int16 signal (SIGNAL_DTYPE,
+                    # chiron_input.py:26) — captured before any pA rescale
+                    tf_reads.append(
+                        (file_prefix, raw_data,
+                         [(r[0], r[1], r[2]) for r in raw_data_array])
+                    )
                 if flags.unit:
                     raw_data = rescale_to_pa(raw_data, offset, range_s, digitisation)
                 with open(
@@ -102,8 +110,19 @@ def run(args) -> Counter:
     os.makedirs(output_folder, exist_ok=True)
     _set_logger(os.path.join(output_folder, "raw.log"))
     total: Counter = Counter()
+    # --tffile: additionally bundle the extracted reads into one TFRecord
+    # (the reference DECLARES this flag, entry.py:99, but never implements
+    # it; here it is honored). Reads are buffered in memory.
+    tffile = getattr(args, "tffile", None)
+    tf_reads: list | None = [] if tffile else None
     for directory in dirs:
-        total += extract(directory + os.path.sep, output_folder, args)
+        total += extract(directory + os.path.sep, output_folder, args,
+                         tf_reads=tf_reads)
+    if tffile and tf_reads is not None:
+        from chiron_tpu.io.tfrecord import write_training_tfrecord
+
+        write_training_tfrecord(os.path.join(output_folder, tffile), tf_reads)
+        print(f"Wrote {len(tf_reads)} reads to {tffile}.")
     errors = [(k, v) for k, v in total.most_common() if k != SUCCEED_TAG]
     print(
         f"Extracted {total[SUCCEED_TAG]} reads; "

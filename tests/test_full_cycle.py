@@ -33,11 +33,16 @@ def test_export_train_call_cycle(tmp_path):
     train_dir = os.path.join(base, "train_pairs")
     cli.main([
         "export", "-i", f5_train, "-o", train_dir,
-        "--basecall_group", "Corrected_000",
+        "--basecall_group", "Corrected_000", "-f", "train.tfrecords",
     ])
     batch1 = os.path.join(train_dir, "1")
     assert any(f.endswith(".signal") for f in os.listdir(batch1))
     assert any(f.endswith(".label") for f in os.listdir(batch1))
+    # --tffile side output loads back as a training set
+    from chiron_tpu.io.tfrecord import read_tfrecord_pairs
+
+    tf_reads = list(read_tfrecord_pairs(os.path.join(train_dir, "train.tfrecords")))
+    assert len(tf_reads) == 3 and all(len(r[2]) > 0 for r in tf_reads)
 
     # 3. chiron train (tiny model, few steps)
     cfg_path = os.path.join(base, "cfg.json")
