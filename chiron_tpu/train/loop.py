@@ -179,6 +179,12 @@ def load_dataset(
     selects the reference's TFRecord training layout (chiron_input.py:318);
     anything else is walked for .signal/.label pairs.
     """
+    if not tfrecord and os.path.isfile(data_dir) and data_dir.endswith(
+        (".tfrecord", ".tfrecords")
+    ):
+        # a tfrecord FILE given directly (e.g. the --validation flag takes a
+        # validation tfrecord in the reference, entry.py:115)
+        tfrecord = os.path.abspath(data_dir)
     if tfrecord:
         from chiron_tpu.io.tfrecord import read_tfrecord_data_sets
 

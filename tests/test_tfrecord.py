@@ -111,3 +111,15 @@ def test_train_loop_from_tfrecord(tmp_path):
     batch = ds.next_batch(4)
     assert batch["signal"].shape == (4, 64)
     assert (batch["label_len"] > 0).all()
+
+
+def test_load_dataset_accepts_tfrecord_file_path(tmp_path):
+    """-v validation.tfrecords form (reference entry.py:115)."""
+    from chiron_tpu.train.loop import load_dataset
+
+    rng = np.random.RandomState(3)
+    signal, rows = _synthetic_read(rng, n_events=80)
+    path = tmp_path / "valid.tfrecords"
+    write_training_tfrecord(str(path), [("r", signal, rows)])
+    ds = load_dataset(str(path), 64)
+    assert ds.n > 0
