@@ -85,10 +85,10 @@ def main():
     flags = make_flags(input_dir, os.path.join(work, "warm"), model_dir)
     evaluation(flags)
 
-    # measured runs: best of 3 (the dev-tunnel transport fluctuates +-15%
-    # run to run; steady-state throughput is the meaningful number)
+    # measured runs: best of 5 (the dev-tunnel transport fluctuates up to
+    # 2x run to run; steady-state throughput is the meaningful number)
     elapsed = float("inf")
-    for i in range(3):
+    for i in range(5):
         flags = make_flags(input_dir, os.path.join(work, f"run{i}"), model_dir)
         t0 = time.time()
         result = evaluation(flags)
