@@ -130,6 +130,8 @@ def main(arguments=None):
                              help="Shard each batch across this many chips (0 = single device).")
     parser_call.add_argument("--sig_norm", type=int, default=None,
                              help="Signal normalization: None raw (default), 0 median/mad, 1 mean/std.")
+    parser_call.add_argument("--profile", action="store_true",
+                             help="Write a jax.profiler trace under <output>/profile.")
     parser_call.set_defaults(func=evaluation)
 
     # ---- export ----------------------------------------------------------
