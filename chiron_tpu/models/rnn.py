@@ -306,6 +306,34 @@ def _fused_bilstm(layer: Params, x_fw, x_bw, lengths, starts):
                                hidden=hidden)
 
 
+def _fused_bigru(layer: Params, x_fw, x_bw, lengths, starts):
+    """Both directions of one BiGRU layer in ONE Pallas program.
+
+    Mirrors _fused_bilstm: x_bw already flipped, returned h_bw still
+    flipped.
+    """
+    from chiron_tpu.ops.pallas.gru import bigru_layer_pallas, pad_gru_weights
+
+    hidden = layer["fw"]["wh_c"].shape[0]
+    wxg_f, whg_f, bg_f, wxc_f, whc_f, bc_f = pad_gru_weights(
+        layer["fw"], hidden
+    )
+    wxg_b, whg_b, bg_b, wxc_b, whc_b, bc_b = pad_gru_weights(
+        layer["bw"], hidden
+    )
+    return bigru_layer_pallas(
+        _proj(x_fw, wxg_f) + bg_f,
+        _proj(x_fw, wxc_f) + bc_f,
+        _proj(x_bw, wxg_b) + bg_b,
+        _proj(x_bw, wxc_b) + bc_b,
+        (whg_f, whc_f),
+        (whg_b, whc_b),
+        lengths,
+        starts,
+        hidden=hidden,
+    )
+
+
 def _init_cell(cell_type: str, key, c_in: int, hidden: int) -> Params:
     if cell_type == "BNLSTM":
         return init_bnlstm_cell(key, c_in, hidden)
@@ -407,13 +435,14 @@ def birnn_stack(
     def rev_out(arr):
         return jnp.flip(arr, axis=0) if flip else reverse_sequence(arr, lengths)
 
-    fused = flip and cell_type == "LSTM"
+    fused = flip and cell_type in ("LSTM", "GRU")
+    fused_fn = _fused_bilstm if cell_type == "LSTM" else _fused_bigru
     if layer_type == "rna":
         fw = xt
         bw = rev_in(xt)
         for layer in params["layers"]:
             if fused:
-                fw, bw = _fused_bilstm(layer, fw, bw, lengths, starts)
+                fw, bw = fused_fn(layer, fw, bw, lengths, starts)
             else:
                 fw = _run_cell(cell_type, layer["fw"], fw, mask, lengths,
                                training)
@@ -424,8 +453,7 @@ def birnn_stack(
         out = xt
         for layer in params["layers"]:
             if fused:
-                fw, bw = _fused_bilstm(layer, out, rev_in(out), lengths,
-                                       starts)
+                fw, bw = fused_fn(layer, out, rev_in(out), lengths, starts)
             else:
                 fw = _run_cell(cell_type, layer["fw"], out, mask, lengths,
                                training)

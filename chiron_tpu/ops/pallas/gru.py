@@ -89,6 +89,108 @@ def _gru_kernel(lens_ref, starts_ref, gx_ref, cx_ref, whg_ref, whc_ref, out_ref,
     h_scr[:] = masked_h + (1.0 - mask_h) * h
 
 
+def _bigru_kernel(lens_ref, starts_ref, gxf_ref, cxf_ref, gxb_ref, cxb_ref,
+                  whgf_ref, whcf_ref, whgb_ref, whcb_ref,
+                  outf_ref, outb_ref, hf_scr, hb_scr):
+    """Both directions of one BiGRU layer per grid step (see lstm.py
+    _bilstm_kernel: the backward rows consume the time-flipped sequence
+    with per-row start T-len; fusing halves per-step bookkeeping)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+
+    hp = hf_scr.shape[-1]
+
+    def half(gx_ref, cx_ref, whg_ref, whc_ref, h_scr, out_ref, active):
+        h = h_scr[:]
+        gates = jax.nn.sigmoid(
+            gx_ref[0] + jnp.dot(h, whg_ref[:], preferred_element_type=jnp.float32)
+        )
+        r = gates[:, 0 * hp:1 * hp]
+        u = gates[:, 1 * hp:2 * hp]
+        cand = jnp.tanh(
+            cx_ref[0] + jnp.dot(r * h, whc_ref[:],
+                                preferred_element_type=jnp.float32)
+        )
+        new_h = u * h + (1.0 - u) * cand
+        mask = active.astype(new_h.dtype)
+        if hp != LANE:
+            mask = jnp.broadcast_to(mask[:, :1], new_h.shape)
+        masked_h = mask * new_h
+        out_ref[0] = masked_h
+        h_scr[:] = masked_h + (1.0 - mask) * h
+
+    lens = lens_ref[:]
+    half(gxf_ref, cxf_ref, whgf_ref, whcf_ref, hf_scr, outf_ref, lens > t)
+    starts = starts_ref[:]
+    half(gxb_ref, cxb_ref, whgb_ref, whcb_ref, hb_scr, outb_ref,
+         (starts <= t) & (starts + lens > t))
+
+
+@functools.partial(jax.jit, static_argnames=("hidden", "interpret"))
+def bigru_layer_pallas(
+    gx_fw: jnp.ndarray,
+    cx_fw: jnp.ndarray,
+    gx_bw: jnp.ndarray,
+    cx_bw: jnp.ndarray,
+    wh_fw: tuple,
+    wh_bw: tuple,
+    lengths: jnp.ndarray,
+    starts_bw: jnp.ndarray,
+    hidden: int,
+    interpret: bool = False,
+):
+    """Fused bidirectional GRU layer (inference path).
+
+    ``gx_bw``/``cx_bw`` must be projections of the time-FLIPPED input and
+    ``starts_bw`` = T - len. ``wh_fw``/``wh_bw`` are (whg, whc) pairs.
+    Returns (hs_fw, hs_bw) with hs_bw still in flipped time order.
+    """
+    whg_f, whc_f = wh_fw
+    whg_b, whc_b = wh_bw
+    t_max, bsz, two_hp = gx_fw.shape
+    hp = two_hp // 2
+    if hp != _round_up(hidden, LANE) or whg_f.shape != (hp, 2 * hp):
+        raise ValueError("weights must be in padded layout (pad_gru_weights)")
+    lens_b = jnp.broadcast_to(lengths[:, None], (bsz, LANE)).astype(jnp.int32)
+    starts_b = jnp.broadcast_to(starts_bw[:, None], (bsz, LANE)).astype(jnp.int32)
+
+    outf, outb = pl.pallas_call(
+        _bigru_kernel,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, LANE), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, 2 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, 2 * hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 2 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 2 * hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, hp), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bsz, hp), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_max, bsz, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, bsz, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bsz, hp), jnp.float32),
+            pltpu.VMEM((bsz, hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens_b, starts_b, gx_fw, cx_fw, gx_bw, cx_bw,
+      whg_f, whc_f, whg_b, whc_b)
+    return outf[:, :, :hidden], outb[:, :, :hidden]
+
+
 @functools.partial(jax.jit, static_argnames=("hidden", "interpret"))
 def gru_layer_pallas(
     gx: jnp.ndarray,

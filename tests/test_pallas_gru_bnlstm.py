@@ -76,3 +76,71 @@ def test_pallas_gru_zero_length_batch():
         jnp.zeros(b, jnp.int32), hidden=h, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_pallas_bigru_fused_matches_two_calls():
+    """Fused bidirectional GRU kernel == two single-direction kernels."""
+    from chiron_tpu.ops.pallas.gru import bigru_layer_pallas
+
+    rng = np.random.RandomState(7)
+    t, b, h, c_in = 12, 8, 100, 8
+    lengths = jnp.asarray([t, t, 9, 5, 3, 1, 0, 7], jnp.int32)
+    starts = t - lengths
+    x = jnp.asarray(rng.randn(t, b, c_in), jnp.float32)
+    cells = []
+    for seed in (1, 2):
+        params = jax.tree.map(
+            lambda a: jnp.asarray(rng.randn(*a.shape) * 0.3, jnp.float32),
+            init_gru_cell(jax.random.PRNGKey(seed), c_in, h),
+        )
+        cells.append(pad_gru_weights(params, h))
+    (wxg_f, whg_f, bg_f, wxc_f, whc_f, bc_f) = cells[0]
+    (wxg_b, whg_b, bg_b, wxc_b, whc_b, bc_b) = cells[1]
+
+    xf, xb = x, jnp.flip(x, axis=0)
+    ref_f = gru_layer_pallas(xf @ wxg_f + bg_f, xf @ wxc_f + bc_f,
+                             whg_f, whc_f, lengths, h, interpret=True)
+    ref_b = gru_layer_pallas(xb @ wxg_b + bg_b, xb @ wxc_b + bc_b,
+                             whg_b, whc_b, lengths, h, starts=starts,
+                             interpret=True)
+    out_f, out_b = bigru_layer_pallas(
+        xf @ wxg_f + bg_f, xf @ wxc_f + bc_f,
+        xb @ wxg_b + bg_b, xb @ wxc_b + bc_b,
+        (whg_f, whc_f), (whg_b, whc_b), lengths, starts,
+        hidden=h, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("layer_type", ["normal", "rna"])
+def test_fused_bigru_stack_matches_scan_stack(layer_type):
+    """birnn_stack fused GRU flip path == the XLA scan path."""
+    from unittest import mock
+
+    from chiron_tpu.models import rnn as rnn_mod
+    from chiron_tpu.ops.pallas import gru as kgru
+
+    rng = np.random.RandomState(9)
+    b, t, c_in, h = 8, 12, 6, 100
+    params = rnn_mod.init_birnn_stack(
+        jax.random.PRNGKey(0), c_in, h, 2, "GRU", layer_type
+    )
+    x = jnp.asarray(rng.randn(b, t, c_in), jnp.float32)
+    lengths = jnp.asarray([t, t, 9, 5, 3, 1, 0, 7], jnp.int32)
+
+    ref = rnn_mod.birnn_stack(params, x, lengths, "GRU", layer_type)
+
+    fused_bigru = kgru.bigru_layer_pallas
+
+    def bigru_interp(*args, **kw):
+        kw["interpret"] = True
+        return fused_bigru(*args, **kw)
+
+    with mock.patch.object(rnn_mod, "_use_pallas", lambda: True), \
+            mock.patch.object(kgru, "bigru_layer_pallas", bigru_interp):
+        out = rnn_mod.birnn_stack(params, x, lengths, "GRU", layer_type)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
