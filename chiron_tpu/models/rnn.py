@@ -487,6 +487,48 @@ def rnn_head(params: Params, lasth: jnp.ndarray) -> jnp.ndarray:
     return merged @ params["w_class"] + params["b_class"]
 
 
+def init_unirnn_layers(
+    key, c_in: int, hidden: int, layer_num: int, class_n: int,
+    cell_type: str = "BNLSTM",
+) -> Params:
+    """Single-direction stacked RNN + FC head.
+
+    Parity: chiron/rnn.py:176-216 (rnn_layers_one_direction — stacked
+    unidirectional BNLSTM cells, unused in the reference's main path).
+    The reference's cudnn fused variant (chiron/rnn.py:218-233) has no
+    separate equivalent: the fused Pallas kernels ARE this framework's
+    hardware-fused recurrence.
+    """
+    layers = []
+    for i in range(layer_num):
+        key, k = jax.random.split(key)
+        layers.append(_init_cell(cell_type, k, c_in if i == 0 else hidden, hidden))
+    key, k = jax.random.split(key)
+    return {
+        "layers": layers,
+        "w_class": truncated_normal(k, (hidden, class_n), np.sqrt(2.0 / hidden)),
+        "b_class": jnp.zeros((class_n,)),
+    }
+
+
+def unirnn_layers(
+    params: Params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cell_type: str = "BNLSTM",
+    training: bool = False,
+) -> jnp.ndarray:
+    """[B, T, C] -> [B, T, class_n] through a forward-only stack."""
+    xt = jnp.transpose(x, (1, 0, 2))
+    t = xt.shape[0]
+    mask = (jnp.arange(t)[:, None] < lengths[None, :]).astype(xt.dtype)[..., None]
+    h = xt
+    for layer in params["layers"]:
+        h = _run_cell(cell_type, layer, h, mask, lengths, training)
+    out = jnp.transpose(h, (1, 0, 2))
+    return out @ params["w_class"] + params["b_class"]
+
+
 def init_rnn_layers(
     key, c_in: int, hidden: int, layer_num: int, class_n: int, cell_type: str, layer_type: str
 ) -> Params:

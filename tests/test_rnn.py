@@ -96,3 +96,28 @@ def test_rnn_head():
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 6, 3))
     y = R.rnn_layers(p, x, jnp.asarray([6, 6]))
     assert y.shape == (2, 6, 5)
+
+
+def test_unirnn_layers_shapes_and_masking():
+    """Forward-only stack (parity: chiron/rnn.py:176-216)."""
+    import jax
+
+    from chiron_tpu.models.rnn import init_unirnn_layers, unirnn_layers
+
+    rng = np.random.RandomState(0)
+    b, t, c_in, h, n_class = 4, 10, 6, 32, 5
+    for cell in ("BNLSTM", "LSTM", "GRU"):
+        params = init_unirnn_layers(
+            jax.random.PRNGKey(0), c_in, h, 2, n_class, cell_type=cell
+        )
+        x = jnp.asarray(rng.randn(b, t, c_in), jnp.float32)
+        lengths = jnp.asarray([t, 7, 3, 0], jnp.int32)
+        logits = unirnn_layers(params, x, lengths, cell_type=cell)
+        assert logits.shape == (b, t, n_class)
+        assert np.isfinite(np.asarray(logits)).all()
+        # past each row's length the hidden states are zero -> logits == bias
+        out = np.asarray(logits)
+        np.testing.assert_allclose(
+            out[2, 5:], np.broadcast_to(params["b_class"], (t - 5, n_class)),
+            atol=1e-6,
+        )
