@@ -213,10 +213,10 @@ def _displacement(kernel: str, bpread, prev_bpread, error_rate, jump_step_ratio)
 # consensus accumulation
 # --------------------------------------------------------------------------
 
-def _encode(segment: str) -> np.ndarray:
+def _encode(segment: str, alphabet: str = _BASES) -> np.ndarray:
     arr = np.frombuffer(segment.encode(), np.uint8)
     out = np.zeros(arr.shape, np.int64)
-    for base, idx in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    for idx, base in enumerate(alphabet):
         out[arr == ord(base)] = idx
         out[arr == ord(base.lower())] = idx
     return out
@@ -298,14 +298,17 @@ def simple_assembly(
     jump_step_ratio: float,
     error_rate: float = 0.2,
     kernel: str = "global",
+    alphabet: str = _BASES,
 ) -> np.ndarray:
-    """Stitch window reads into a [4, L] base-count consensus matrix."""
-    if kernel in ("glue", "stick"):
+    """Stitch window reads into a [len(alphabet), L] base-count matrix."""
+    if kernel in ("glue", "stick") and alphabet == _BASES:
+        # the native kernel is fixed 4-row; wider alphabets (ACGTX) take
+        # the python path
         native = _native_assembly(bpreads, None, kernel)
         if native is not None:
             return native[0]
     census_len = 1000
-    consensus = np.zeros((4, census_len))
+    consensus = np.zeros((len(alphabet), census_len))
     pos = 0
     length = 0
     for indx, bpread in enumerate(bpreads):
@@ -323,7 +326,7 @@ def simple_assembly(
             consensus = np.pad(consensus, ((0, 0), (0, grow)))
             census_len += grow
         if len(seg):
-            np.add.at(consensus, (_encode(seg), np.arange(start, end)), 1)
+            np.add.at(consensus, (_encode(seg, alphabet), np.arange(start, end)), 1)
         if indx:
             pos += disp
         length = max(length, end)
@@ -336,10 +339,11 @@ def simple_assembly_qs(
     jump_step_ratio: float,
     error_rate: float = 0.2,
     kernel: str = "global",
+    alphabet: str = _BASES,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Same as simple_assembly, also accumulating per-base quality mass."""
     assert len(bpreads) == len(qs_list)
-    if kernel in ("glue", "stick"):
+    if kernel in ("glue", "stick") and alphabet == _BASES:
         qs_vals = np.asarray(
             [float(np.asarray(q).ravel()[0]) for q in qs_list], np.float32
         )
@@ -347,8 +351,8 @@ def simple_assembly_qs(
         if native is not None:
             return native
     census_len = 1000
-    consensus = np.zeros((4, census_len))
-    consensus_qs = np.zeros((4, census_len))
+    consensus = np.zeros((len(alphabet), census_len))
+    consensus_qs = np.zeros((len(alphabet), census_len))
     pos = 0
     length = 0
     for indx, bpread in enumerate(bpreads):
@@ -367,7 +371,7 @@ def simple_assembly_qs(
             consensus_qs = np.pad(consensus_qs, ((0, 0), (0, grow)))
             census_len += grow
         if len(seg):
-            idx = (_encode(seg), np.arange(start, end))
+            idx = (_encode(seg, alphabet), np.arange(start, end))
             np.add.at(consensus, idx, 1)
             np.add.at(consensus_qs, idx, float(np.asarray(qs_list[indx]).ravel()[0]))
         if indx:
@@ -376,9 +380,11 @@ def simple_assembly_qs(
     return consensus[:, :length], consensus_qs[:, :length]
 
 
-def consensus_to_bases(consensus: np.ndarray) -> str:
+def consensus_to_bases(consensus: np.ndarray, alphabet: str = None) -> str:
     """argmax over the count matrix -> base string (chiron_eval.py:457)."""
-    return "".join(_BASES[i] for i in np.argmax(consensus, axis=0))
+    if alphabet is None:
+        alphabet = "ACGTX"[: consensus.shape[0]]
+    return "".join(alphabet[i] for i in np.argmax(consensus, axis=0))
 
 
 def qs(consensus: np.ndarray, consensus_qs: np.ndarray, output_standard="phred+33"):
@@ -388,9 +394,14 @@ def qs(consensus: np.ndarray, consensus_qs: np.ndarray, output_standard="phred+3
     cols = np.arange(length)[None, :]
     sorted_consensus = consensus[sort_ind, cols]
     sorted_consensus_qs = consensus_qs[sort_ind, cols]
-    quality_score = 10 * np.log10(
-        (sorted_consensus[3, :] + 1) / (sorted_consensus[2, :] + 1)
-    ) + sorted_consensus_qs[3, :] / sorted_consensus[3, :] / np.log(10)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        quality_score = 10 * np.log10(
+            (sorted_consensus[-1, :] + 1) / (sorted_consensus[-2, :] + 1)
+        ) + sorted_consensus_qs[-1, :] / sorted_consensus[-1, :] / np.log(10)
+    # zero-coverage columns yield nan/inf (the reference would crash on
+    # chr() overflow, chiron_eval.py:173); clamp to the printable phred+33
+    # range instead
+    quality_score = np.clip(np.nan_to_num(quality_score), 0, 93)
     if output_standard == "number":
         return quality_score.astype(int)
     elif output_standard == "phred+33":

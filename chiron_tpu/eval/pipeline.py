@@ -411,7 +411,8 @@ def evaluation(flags) -> dict:
         for fn in list(acc.keys()):
             if fn in counts and len(acc[fn]) == counts[fn]:
                 fin_futures.append(
-                    finalizer(_finalize_file, fn, acc.pop(fn), flags, timing[fn])
+                    finalizer(_finalize_file, fn, acc.pop(fn), flags,
+                              timing[fn], alphabet)
                 )
 
     # bf16 mode: upload windows as bfloat16 — the first conv casts its
@@ -445,9 +446,10 @@ def evaluation(flags) -> dict:
     # reference; unreadable inputs (count -1) are skipped entirely
     for fn in done_order:
         if counts.get(fn) == 0 and fn not in acc:
-            total_bases += _finalize_file(fn, {}, flags, timing[fn])
+            total_bases += _finalize_file(fn, {}, flags, timing[fn], alphabet)
         elif fn in acc and counts.get(fn, -1) == len(acc[fn]):
-            total_bases += _finalize_file(fn, acc.pop(fn), flags, timing[fn])
+            total_bases += _finalize_file(fn, acc.pop(fn), flags, timing[fn],
+                                          alphabet)
     return {
         "n_files": len(file_list),
         "total_bases": total_bases,
@@ -455,7 +457,8 @@ def evaluation(flags) -> dict:
     }
 
 
-def _finalize_file(fname: str, windows: dict, flags, times) -> int:
+def _finalize_file(fname: str, windows: dict, flags, times,
+                   alphabet: str = "ACGT") -> int:
     """Assemble one read's windows and write outputs. Returns base count."""
     start_time, reading_time = times
     idxs = sorted(windows.keys())
@@ -480,14 +483,16 @@ def _finalize_file(fname: str, windows: dict, flags, times) -> int:
             qs_list[nonempty],
             js_ratio,
             kernel=kernel,
+            alphabet=alphabet,
         )
         qs_string = qs(consensus, consensus_qs)
-        consensus_seq = consensus_to_bases(consensus)
+        consensus_seq = consensus_to_bases(consensus, alphabet)
     else:
         consensus = simple_assembly(
-            [bpreads[i] for i in nonempty], js_ratio, kernel=kernel
+            [bpreads[i] for i in nonempty], js_ratio, kernel=kernel,
+            alphabet=alphabet,
         )
-        consensus_seq = consensus_to_bases(consensus)
+        consensus_seq = consensus_to_bases(consensus, alphabet)
     assembly_time = time.time() - start_time
     list_of_time = [start_time, reading_time, basecall_time, assembly_time]
     write_output(

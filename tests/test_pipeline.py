@@ -253,3 +253,34 @@ def test_pack_unpack_roundtrip():
             assert np.allclose(s2, score) and np.allclose(p2, prob)
             for i in range(8):
                 assert (d2[i, :lens[i]] == dec[i, :lens[i]]).all()
+
+
+def test_call_pipeline_methylation_alphabet(tmp_path):
+    """5-letter ACGTX model through the full pipeline (int8 label packing).
+
+    The 2-bit readback layout only fits 4-label alphabets; this exercises
+    the int8 fallback end-to-end (greedy and beam).
+    """
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=1,
+                   n_bases=80, seed=4)
+    for beam in (0, 4):
+        flags = _flags(tmp_path, beam=beam,
+                       output=os.path.join(str(tmp_path), f"out{beam}"))
+        os.makedirs(flags.model, exist_ok=True)
+        with open(os.path.join(flags.model, "model.json"), "w") as fh:
+            json.dump(
+                {"cnn": {"model": "custom"},
+                 "rnn": {"layer_num": 1, "hidden_num": 8,
+                         "cell_type": "LSTM", "layer_type": "normal"},
+                 "opt_method": "Adam", "fl_gamma": 0, "alphabet": 5},
+                fh,
+            )
+        result = pipeline.run(flags)
+        assert result["n_files"] == 1
+        content = open(
+            os.path.join(flags.output, "result", "synth0.fastq")
+        ).read()
+        lines = content.splitlines()
+        assert set(lines[1]) <= set("ACGTX")
