@@ -240,6 +240,14 @@ CNN_ZOO["gate_conv_net"] = _make_gate_conv(
 CNN_ZOO["gate_conv_net_low"] = _make_gate_conv(
     {"hu": [256] * 5, "kw": [13, 3, 3, 3, 3], "strides": [5, 1, 3, 6, 9]}
 )
+# gate_conv_net_high declares 11-element arch lists but gate_conv_kernal
+# consumes only the first five (chiron/cnn.py:489-531, :548-553); these are
+# the effective values. Its nonzero dropouts are training-only and omitted
+# like the rest of the family.
+CNN_ZOO["gate_conv_net_high"] = _make_gate_conv(
+    {"hu": [200, 200, 400, 600, 800], "kw": [17, 7, 11, 15, 19],
+     "strides": [9, 1, 1, 1, 1]}
+)
 
 
 # -- dynamic_net: config-driven layer stack (chiron/cnn.py:403-452) ---------

@@ -44,7 +44,7 @@ def test_cnn_only_model():
 
 @pytest.mark.parametrize(
     "name", ["rna_model1", "rna_model2", "rna_test", "variant_wavnet",
-             "gate_conv_net", "gate_conv_net_low", "custom"]
+             "gate_conv_net", "gate_conv_net_low", "gate_conv_net_high", "custom"]
 )
 def test_zoo_models_compile(name):
     config = default_config()
