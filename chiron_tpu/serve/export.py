@@ -74,3 +74,31 @@ def latest_bundle(export_dir: str) -> str:
     if not versions:
         raise FileNotFoundError(f"no bundles under {export_dir}")
     return os.path.join(export_dir, str(max(versions)))
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Package a trained model directory into a versioned "
+        "serving bundle (reference: export_test.py:43-124)."
+    )
+    parser.add_argument("-m", "--model", required=True,
+                        help="Model directory (model.json + checkpoint).")
+    parser.add_argument("-o", "--export_dir", required=True,
+                        help="Export root; bundles go to <export_dir>/<version>/.")
+    parser.add_argument("--version", type=int, default=None,
+                        help="Bundle version (default: next integer).")
+    parser.add_argument("-s", "--segment_len", type=int, default=400)
+    parser.add_argument("--beam", type=int, default=0)
+    args = parser.parse_args(argv)
+    bundle = export_model(args.model, args.export_dir, args.version,
+                          args.segment_len, args.beam)
+    print(f"Exported bundle: {bundle}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -157,3 +157,26 @@ def convert_checkpoint_dir(model_dir: str, out_dir: str | None = None) -> str:
     path = save_checkpoint(out_dir, params, 0, prefix="converted")
     C.save_config(os.path.join(out_dir, "model.json"), config)
     return path
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Convert a reference TF model folder (checkpoint + "
+        "model.json) into this framework's npz checkpoint format."
+    )
+    parser.add_argument("-m", "--model_dir", required=True,
+                        help="Reference model folder (TF checkpoint + model.json).")
+    parser.add_argument("-o", "--out_dir", default=None,
+                        help="Output folder (default: alongside the input).")
+    args = parser.parse_args(argv)
+    out = convert_checkpoint_dir(args.model_dir, args.out_dir)
+    print(f"Converted checkpoint written to: {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
