@@ -79,7 +79,11 @@ class InferenceEngine:
                 two_bit=C.class_n(self.config) - 1 <= 4,
             )
             take = self.batch_size - pad
-            out["decoded"].append(dec[:take].astype(np.int32))
+            dec = dec.astype(np.int32)
+            # positions past each decoded length are -1 (the 2-bit packed
+            # layout zeroes them; the signature documents -1 padding)
+            dec[np.arange(dec.shape[1])[None, :] >= dlen[:, None]] = -1
+            out["decoded"].append(dec[:take])
             out["decoded_length"].append(dlen[:take])
             out["log_prob"].append(score[:take])
             out["prob_logits"].append(prob[:take])

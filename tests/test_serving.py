@@ -96,3 +96,32 @@ def test_remote_basecall_end_to_end(tmp_path):
         assert len(fastqs) == 2
     finally:
         server.shutdown()
+
+
+def test_predict_decoded_padding_is_minus_one(tmp_path):
+    """Beyond each decoded length the decoded matrix is -1-padded
+    (the 2-bit packed readback zeroes it; the serving signature says -1)."""
+    import jax
+
+    from chiron_tpu.config import default_config, save_config
+    from chiron_tpu.models import init_model
+    from chiron_tpu.serve.export import export_model
+    from chiron_tpu.serve.server import InferenceEngine
+    from chiron_tpu.train.checkpoint import save_checkpoint
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    cfg = default_config()
+    cfg["cnn"] = {"model": "custom"}
+    cfg["rnn"] = {"layer_num": 1, "hidden_num": 8, "cell_type": "LSTM",
+                  "layer_type": "normal"}
+    save_config(os.path.join(model_dir, "model.json"), cfg)
+    save_checkpoint(model_dir, init_model(jax.random.PRNGKey(0), cfg), 0)
+    bundle = export_model(model_dir, str(tmp_path / "export"), segment_len=64)
+    eng = InferenceEngine(bundle, segment_len=64, beam=0, batch_size=4)
+    x = np.random.RandomState(0).randn(4, 64).astype(np.float32)
+    r = eng.predict(x, np.full(4, 64, np.int32))
+    dec, dlen = r["decoded"], r["decoded_length"]
+    for i in range(4):
+        assert (dec[i, dlen[i]:] == -1).all()
+        assert (dec[i, :dlen[i]] >= 0).all()
