@@ -206,17 +206,41 @@ def _batch_stream(
     buf_idx = np.zeros(0, np.int64)
     buf_fn: List[str] = []
     meta = {}
-    for name in file_list:
+
+    # per-file reads run in a small ordered-lookahead pool (the native
+    # .signal parser and h5py release the GIL), overlapping IO across files
+    # while results are consumed strictly in list order
+    from concurrent.futures import ThreadPoolExecutor
+
+    read_pool = ThreadPoolExecutor(max_workers=3)
+
+    def _read_one(name):
+        t0 = time.time()
+        windows, lengths = read_signal_for_eval(
+            os.path.join(file_dir, name),
+            flags.start,
+            step=flags.jump,
+            seg_length=seg,
+            normalize=getattr(flags, "sig_norm", None),
+            reverse_fast5=flags.reverse_fast5,
+        )
+        return windows, lengths, time.time() - t0
+
+    lookahead: deque = deque()
+    for name in file_list[:3]:
+        lookahead.append((name, read_pool.submit(_read_one, name)))
+    submitted = min(3, len(file_list))
+
+    for _ in range(len(file_list)):
+        name, fut = lookahead.popleft()
+        if submitted < len(file_list):
+            nxt = file_list[submitted]
+            lookahead.append((nxt, read_pool.submit(_read_one, nxt)))
+            submitted += 1
         t0 = time.time()
         try:
-            windows, lengths = read_signal_for_eval(
-                os.path.join(file_dir, name),
-                flags.start,
-                step=flags.jump,
-                seg_length=seg,
-                normalize=getattr(flags, "sig_norm", None),
-                reverse_fast5=flags.reverse_fast5,
-            )
+            windows, lengths, rtime = fut.result()
+            t0 = time.time() - rtime  # preserve per-file reading_time
         except Exception as e:
             # per-file fault tolerance: a corrupt fast5 must not abort the
             # run (the reference's extraction stage has the same policy,
@@ -243,6 +267,7 @@ def _batch_stream(
             buf_len = buf_len[bsz:]
             buf_idx = buf_idx[bsz:]
             buf_fn = buf_fn[bsz:]
+    read_pool.shutdown(wait=False)
     n = len(buf_x)
     if n > 0:
         pad = bsz - n
