@@ -36,62 +36,64 @@ def base2ind(base: str, alphabet_n: int = 4) -> int:
     return lower.index(base)
 
 
+MAX_RAW_SAMPLES = 99_999_999
+
+_LABEL_DTYPE = np.dtype([("start", "<u4"), ("length", "<u4"), ("base", "S1")])
+
+
 def get_label_raw(
     fast5_fn: str, basecall_group: str, basecall_subgroup: str
 ) -> Tuple[tuple, tuple]:
     """Raw signal + resquiggled event labels from a corrected fast5.
 
-    Parity: chiron/utils/labelop.py:133-187.
+    Reads ``/Raw/Reads/<read>/Signal``, the channel calibration attributes,
+    and the Tombo-style corrected event table under
+    ``/Analyses/<group>/<subgroup>/Events``, shifting event starts by the
+    table's ``read_start_rel_to_raw`` offset into raw-sample coordinates.
+    Output contract matches chiron/utils/labelop.py:133-187 (same return
+    tuple and structured label dtype) so downstream tooling is drop-in.
     """
     try:
-        fast5_data = h5py.File(fast5_fn, "r")
+        f5 = h5py.File(fast5_fn, "r")
     except IOError:
-        raise IOError("Error opening file. Likely a corrupted file.")
-    try:
-        raw_grp = list(fast5_data["/Raw/Reads/"].values())[0]
-        raw_dat = np.asarray(raw_grp["Signal"])
-    except Exception:
-        fast5_data.close()
-        raise RuntimeError(
-            "Raw data is not stored in Raw/Reads/Read_[read#] so "
-            "new segments cannot be identified."
-        )
-    try:
-        global_attrs = fast5_data["/UniqueGlobalKey/channel_id/"].attrs
-        offset = float(global_attrs["offset"])
-        digitisation = float(global_attrs["digitisation"])
-        range_s = float(global_attrs["range"])
-    except Exception:
-        fast5_data.close()
-        raise RuntimeError("Failed to extract channel information.")
-    try:
-        corr_data = fast5_data[
-            "/Analyses/" + basecall_group + "/" + basecall_subgroup + "/Events"
-        ]
-        corr_attrs = dict(corr_data.attrs.items())
-        corr_data = np.asarray(corr_data)
-    except Exception:
-        fast5_data.close()
-        raise RuntimeError("Corrected data not found.")
-    corr_start_rel_to_raw = corr_attrs["read_start_rel_to_raw"]
-    if len(raw_dat) > 99999999:
-        fast5_data.close()
-        raise ValueError(fast5_fn + ": max signal length exceed 99999999")
-    if any(len(vals) <= 1 for vals in (corr_data, raw_dat)):
-        fast5_data.close()
-        raise NotImplementedError("One or no segments or signal present in read.")
-    event_starts = corr_data["start"] + corr_start_rel_to_raw
-    event_lengths = corr_data["length"]
-    event_bases = corr_data["base"]
-    fast5_data.close()
-    label_data = np.array(
-        list(zip(event_starts, event_lengths, event_bases)),
-        dtype=[("start", "<u4"), ("length", "<u4"), ("base", "S1")],
-    )
-    return (
-        (raw_dat, label_data, event_starts, event_lengths),
-        (offset, range_s, digitisation),
-    )
+        raise IOError(f"{fast5_fn}: not a readable HDF5 file")
+    with f5:
+        reads = f5.get("/Raw/Reads")
+        if reads is None or not len(reads):
+            raise RuntimeError(f"{fast5_fn}: no /Raw/Reads/* group — cannot segment")
+        raw_dat = np.asarray(next(iter(reads.values()))["Signal"])
+
+        channel = f5.get("/UniqueGlobalKey/channel_id")
+        if channel is None:
+            raise RuntimeError(f"{fast5_fn}: missing channel_id calibration group")
+        try:
+            calib = tuple(
+                float(channel.attrs[k]) for k in ("offset", "range", "digitisation")
+            )
+        except KeyError as missing:
+            raise RuntimeError(f"{fast5_fn}: channel calibration lacks {missing}")
+
+        events = f5.get(f"/Analyses/{basecall_group}/{basecall_subgroup}/Events")
+        if events is None:
+            raise RuntimeError(
+                f"{fast5_fn}: no corrected events under Analyses/"
+                f"{basecall_group}/{basecall_subgroup}"
+            )
+        rel = int(events.attrs["read_start_rel_to_raw"])
+        events = np.asarray(events)
+
+    if raw_dat.size > MAX_RAW_SAMPLES:
+        raise ValueError(f"{fast5_fn}: signal longer than {MAX_RAW_SAMPLES} samples")
+    if raw_dat.size <= 1 or events.size <= 1:
+        raise NotImplementedError(f"{fast5_fn}: read holds <2 samples or <2 events")
+
+    event_starts = events["start"] + rel
+    event_lengths = events["length"]
+    label_data = np.empty(events.size, dtype=_LABEL_DTYPE)
+    label_data["start"] = event_starts
+    label_data["length"] = event_lengths
+    label_data["base"] = events["base"]
+    return (raw_dat, label_data, event_starts, event_lengths), calib
 
 
 def get_label_segment(
@@ -234,59 +236,56 @@ def read_label(file_path: str, skip_start: int = 10, window_n: int = 0) -> raw_l
 def read_raw(
     raw_signal: np.ndarray, raw_label: raw_labels, max_seq_length: int
 ) -> Tuple[List, List, List, List]:
-    """Cut (signal, label) windows at label boundaries with QC.
+    """Cut (signal, label) windows at label-event boundaries with QC.
 
-    Windows are accumulated label-event by label-event until adding the next
-    event would exceed max_seq_length; a window passes QC if it covers >30%
-    of the window with signal and has >2 labels. The tail of each saved
-    window is padded with upcoming signal (parity:
-    chiron/chiron_input.py:630-692).
+    Greedy grouping: a window takes consecutive events while its total
+    signal length stays under ``max_seq_length``; the event that would
+    overflow it starts the next window. A window is kept only if it covers
+    >30% of ``max_seq_length`` and holds >2 labels; kept windows are
+    right-padded with the signal that follows the overflow event (then
+    zeros), and the trailing partial window is dropped. Semantics match
+    chiron/chiron_input.py:630-692, computed here via one cumulative-sum +
+    ``searchsorted`` pass per window instead of a per-event Python loop.
     """
-    label_val, label_length, event_val, event_length = [], [], [], []
-    current_length = 0
-    current_label: List[int] = []
-    current_event: List[float] = []
-    signal_len = len(raw_signal)
-    raw_signal = list(raw_signal)
-    for indx, segment_length in enumerate(raw_label.length):
-        current_start = raw_label.start[indx]
-        current_base = raw_label.base[indx]
-        assert current_start + segment_length < signal_len
-        if current_length + segment_length < max_seq_length:
-            current_event += raw_signal[current_start:current_start + segment_length]
-            current_label.append(current_base)
-            current_length += segment_length
-        else:
-            if (
-                current_length > (max_seq_length * MIN_SIGNAL_PRO)
-                and len(current_label) > MIN_LABEL_LENGTH
-            ):
-                pad_src = raw_signal[
-                    current_start + segment_length:
-                    current_start + segment_length + max_seq_length
-                ]
-                _pad(current_event, max_seq_length, pad_src)
-                event_val.append(current_event)
-                event_length.append(current_length)
-                label_val.append(current_label)
-                label_length.append(len(current_label))
-            current_event = raw_signal[current_start:current_start + segment_length]
-            current_length = segment_length
-            current_label = [current_base]
+    starts = np.asarray(raw_label.start, np.int64)
+    lengths = np.asarray(raw_label.length, np.int64)
+    bases = list(raw_label.base)
+    signal = np.ascontiguousarray(raw_signal, np.float32)
+    n = len(lengths)
+    assert np.all(starts + lengths < signal.size), (
+        "label events run past the end of the signal"
+    )
+    # csum[i] = total event signal before event i; a window of events [j, m]
+    # has length csum[m+1] - csum[j].
+    csum = np.zeros(n + 1, np.int64)
+    np.cumsum(lengths, out=csum[1:])
+
+    min_keep = max_seq_length * MIN_SIGNAL_PRO
+    event_val, event_length, label_val, label_length = [], [], [], []
+    j = 0
+    while j < n:
+        # first prefix-sum index at/over the budget; events j..(stop-2) fit
+        stop = int(np.searchsorted(csum, csum[j] + max_seq_length, side="left"))
+        if stop > n:
+            break  # every remaining event fits: unterminated window, dropped
+        m = stop - 2
+        if m < j:
+            j += 1  # single event >= window size: acts as a window breaker
+            continue
+        win_len = int(csum[m + 1] - csum[j])
+        if win_len > min_keep and (m - j + 1) > MIN_LABEL_LENGTH:
+            parts = [signal[s:s + l] for s, l in zip(starts[j:m + 1], lengths[j:m + 1])]
+            pad_from = int(starts[m + 1] + lengths[m + 1])
+            parts.append(signal[pad_from:pad_from + (max_seq_length - win_len)])
+            window = np.concatenate(parts)
+            if window.size < max_seq_length:  # pad source hit signal end
+                window = np.pad(window, (0, max_seq_length - window.size))
+            event_val.append(window)
+            event_length.append(win_len)
+            label_val.append(bases[j:m + 1])
+            label_length.append(m + 1 - j)
+        j = m + 1
     return event_val, event_length, label_val, label_length
-
-
-def _pad(x: list, length: int, padding_list=None) -> None:
-    """In-place pad to length (chiron/chiron_input.py:681-692)."""
-    len_x = len(x)
-    assert len_x <= length, "Length of vector x is larger than the padding length"
-    zero_n = length - len_x
-    if padding_list is None:
-        x.extend([0] * zero_n)
-    elif len(padding_list) < zero_n:
-        x.extend(list(padding_list) + [0] * (zero_n - len(padding_list)))
-    else:
-        x.extend(list(padding_list[0:zero_n]))
 
 
 def read_raw_data_sets(
