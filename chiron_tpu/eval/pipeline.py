@@ -231,6 +231,22 @@ def _batch_stream(
         lookahead.append((name, read_pool.submit(_read_one, name)))
     submitted = min(3, len(file_list))
 
+    try:
+        yield from _drain_files(
+            file_list, lookahead, submitted, read_pool, _read_one,
+            bsz, ratio, meta, buf_x, buf_len, buf_idx, buf_fn,
+        )
+    finally:
+        # always reached — a consumer abort (exception / GeneratorExit in
+        # the for-loop body above us) must not leave lookahead reads
+        # running against a possibly-deleted directory
+        read_pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _drain_files(
+    file_list, lookahead, submitted, read_pool, _read_one,
+    bsz, ratio, meta, buf_x, buf_len, buf_idx, buf_fn,
+):
     for _ in range(len(file_list)):
         name, fut = lookahead.popleft()
         if submitted < len(file_list):
@@ -267,7 +283,6 @@ def _batch_stream(
             buf_len = buf_len[bsz:]
             buf_idx = buf_idx[bsz:]
             buf_fn = buf_fn[bsz:]
-    read_pool.shutdown(wait=False)
     n = len(buf_x)
     if n > 0:
         pad = bsz - n

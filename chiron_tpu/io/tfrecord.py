@@ -70,6 +70,8 @@ def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint in record payload")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -220,6 +222,12 @@ def write_training_tfrecord(path: str, reads) -> None:
     for fname, signal, rows in reads:
         feats = []
         for start, end, base in rows:
+            if len(str(start)) > 8 or len(str(end)) > 8:
+                raise ValueError(
+                    f"{fname}: offset {max(start, end)} does not fit the "
+                    "reference's |S8 feature layout (>= 1e8 samples); "
+                    "truncating would corrupt labels on round trip"
+                )
             feats.extend([str(start), str(end), repr(base.encode())])
         feat_arr = np.asarray(feats, dtype="S8")
         examples.append(

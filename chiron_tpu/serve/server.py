@@ -24,6 +24,7 @@ import numpy as np
 from chiron_tpu import config as C
 from chiron_tpu.eval.pipeline import make_decode_step, unpack_step_outputs
 from chiron_tpu.models import apply_model, init_model, model_ratio
+from chiron_tpu.models.model import output_len
 from chiron_tpu.serve.protocol import pack, read_message
 from chiron_tpu.train.checkpoint import restore_latest
 
@@ -44,6 +45,7 @@ class InferenceEngine:
             params = init_model(jax.random.PRNGKey(0), self.config)
         self.params = jax.device_put(params)
         self.ratio = model_ratio(self.config, self.segment_len)
+        self.t_out = output_len(self.config, self.segment_len)
         self._step = make_decode_step(
             self.config, self.segment_len, self.beam, batch_size
         )
@@ -79,7 +81,9 @@ class InferenceEngine:
                 two_bit=C.class_n(self.config) - 1 <= 4,
             )
             take = self.batch_size - pad
-            dec = dec.astype(np.int32)
+            # 2-bit packing rounds columns up to a multiple of 4; the
+            # signature promises [B, t_out] for both packed layouts
+            dec = dec[:, : self.t_out].astype(np.int32)
             # positions past each decoded length are -1 (the 2-bit packed
             # layout zeroes them; the signature documents -1 padding)
             dec[np.arange(dec.shape[1])[None, :] >= dlen[:, None]] = -1

@@ -36,11 +36,19 @@ def test_sharded_decode_step_matches_single_device():
     sl = jnp.full((16,), 64, jnp.int32)
     step1 = make_decode_step(cfg, 64, 0, 16, n_devices=1)
     step8 = make_decode_step(cfg, 64, 0, 16, n_devices=8)
-    out1 = [np.asarray(o) for o in step1(params, x, sl)]
-    out8 = [np.asarray(o) for o in step8(params, x, sl)]
-    np.testing.assert_array_equal(out1[0], out8[0])  # decoded
-    np.testing.assert_array_equal(out1[1], out8[1])  # lengths
-    np.testing.assert_allclose(out1[3], out8[3], rtol=1e-5, atol=1e-6)
+    buf1 = np.asarray(step1(params, x, sl))
+    buf8 = np.asarray(step8(params, x, sl))
+    assert buf1.shape == buf8.shape
+    # decoded + lengths must be bit-identical across sharding; score/prob
+    # floats may differ in the last ulp from reduction order
+    from chiron_tpu.eval.pipeline import unpack_step_outputs
+
+    dec1, len1, sc1, pr1 = unpack_step_outputs(buf1)
+    dec8, len8, sc8, pr8 = unpack_step_outputs(buf8)
+    np.testing.assert_array_equal(dec1, dec8)
+    np.testing.assert_array_equal(len1, len8)
+    np.testing.assert_allclose(sc1, sc8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(pr1, pr8, rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_beam_step():
@@ -56,11 +64,15 @@ def test_sharded_beam_step():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(16, 32), jnp.float32)
     sl = jnp.full((16,), 32, jnp.int32)
-    out1 = [np.asarray(o) for o in
-            make_decode_step(cfg, 32, 5, 16, n_devices=1)(params, x, sl)]
-    out8 = [np.asarray(o) for o in
-            make_decode_step(cfg, 32, 5, 16, n_devices=8)(params, x, sl)]
-    np.testing.assert_array_equal(out1[0], out8[0])
+    buf1 = np.asarray(make_decode_step(cfg, 32, 5, 16, n_devices=1)(params, x, sl))
+    buf8 = np.asarray(make_decode_step(cfg, 32, 5, 16, n_devices=8)(params, x, sl))
+    from chiron_tpu.eval.pipeline import unpack_step_outputs
+
+    dec1, len1, sc1, _ = unpack_step_outputs(buf1)
+    dec8, len8, sc8, _ = unpack_step_outputs(buf8)
+    np.testing.assert_array_equal(dec1, dec8)
+    np.testing.assert_array_equal(len1, len8)
+    np.testing.assert_allclose(sc1, sc8, rtol=1e-5, atol=1e-6)
 
 
 def test_pipeline_with_n_devices(tmp_path):

@@ -1,6 +1,7 @@
 """TFRecord reading/writing without TensorFlow (chiron_input.py:318-427)."""
 
 import numpy as np
+import pytest
 
 from chiron_tpu.io.tfrecord import (
     crc32c,
@@ -123,3 +124,20 @@ def test_load_dataset_accepts_tfrecord_file_path(tmp_path):
     write_training_tfrecord(str(path), [("r", signal, rows)])
     ds = load_dataset(str(path), 64)
     assert ds.n > 0
+
+
+def test_truncated_varint_raises_value_error():
+    from chiron_tpu.io.tfrecord import _read_varint
+
+    with pytest.raises(ValueError, match="truncated varint"):
+        _read_varint(b"\xff\xff", 0)  # continuation bit set on final byte
+
+
+def test_write_training_tfrecord_rejects_oversized_offsets(tmp_path):
+    rng = np.random.RandomState(1)
+    signal, rows = _synthetic_read(rng)
+    rows[-1] = (rows[-1][0], 123_456_789, rows[-1][2])  # 9 digits > |S8
+    with pytest.raises(ValueError, match="S8"):
+        write_training_tfrecord(
+            str(tmp_path / "t.tfrecords"), [("read0", signal, rows)]
+        )

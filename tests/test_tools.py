@@ -244,3 +244,23 @@ def test_label_slice(tmp_path):
     rows = [l.split("\t") for l in out.read_text().splitlines()]
     assert rows[0][:5] == ["A", "0", "3", "6", "10,20,30"]
     assert rows[1][:5] == ["C", "3", "5", "6", "40,50"]
+
+
+def test_dedup_fasta(tmp_path):
+    """remove_duplicate.py parity: last record per header wins."""
+    from chiron_tpu.tools.dedup_fasta import dedup_fast
+
+    fa = tmp_path / "in.fasta"
+    fa.write_text(">r1\nAAAA\n>r2\nCCCC\n>r1\nGGGG\nTTTT\n")
+    out = tmp_path / "out.fasta"
+    n_in, n_out = dedup_fast(str(fa), str(out))
+    assert (n_in, n_out) == (3, 2)
+    assert out.read_text() == ">r1\nGGGG\nTTTT\n>r2\nCCCC\n"
+
+    # fastq with a quality line starting with '@' must not split records
+    fq = tmp_path / "in.fastq"
+    fq.write_text("@r1\nACGT\n+\n@@@@\n@r1\nTTTT\n+\n!!!!\n@r2\nGG\n+\n##\n")
+    out2 = tmp_path / "out.fastq"
+    n_in, n_out = dedup_fast(str(fq), str(out2))
+    assert (n_in, n_out) == (3, 2)
+    assert out2.read_text() == "@r1\nTTTT\n+\n!!!!\n@r2\nGG\n+\n##\n"
