@@ -199,41 +199,55 @@ def resquiggle_signal(
     sequence: str,
     pore_model: Optional[PoreModel] = None,
     radius: int = 50,
+    expand: Optional[int] = None,
 ) -> np.ndarray:
     """Align a raw signal to a base sequence.
 
     Returns starts [len(sequence)+1]: starts[k] is the first signal sample
     of base k; starts[-1] == len(signal).
+
+    ``expand`` repeats each base's expected level that many times before
+    aligning (default: the read's mean dwell, ~len(signal)/len(sequence)),
+    so the DTW diagonal has slope ~1 instead of ~dwell — the same
+    conditioning trick cwDTW gets from aligning two continuous curves.
+    Base k's start is then the start of its first expanded entry.
     """
     pm = pore_model or PoreModel.default()
-    expected = znorm(pm.expected_signal(sequence))
+    levels = pm.expected_signal(sequence)
     signal = znorm(raw_signal)
     m = len(sequence)
+    if expand is None:
+        expand = int(np.clip(round(len(signal) / max(m, 1)), 1, 50))
+    expected = znorm(np.repeat(levels, expand))
+    me = m * expand
     lib = _load_native()
+    starts_exp = None
     if lib is not None:
-        starts = np.zeros(m + 1, np.int32)
+        starts_exp = np.zeros(me + 1, np.int32)
         cost = lib.chiron_resquiggle(
             np.ascontiguousarray(signal, np.float32),
             len(signal),
             np.ascontiguousarray(expected, np.float32),
-            m,
+            me,
             radius,
-            starts,
+            starts_exp,
         )
-        if cost >= 0:
-            return starts
-    # fallback
-    _, path = _py_fast_dtw(signal, expected, radius)
-    starts = np.full(m + 1, -1, np.int64)
-    for i, j in path:
-        if starts[j] < 0:
-            starts[j] = i
+        if cost < 0:
+            starts_exp = None
+    if starts_exp is None:  # fallback
+        _, path = _py_fast_dtw(signal, expected, radius)
+        starts_exp = np.full(me + 1, -1, np.int64)
+        for i, j in path:
+            if starts_exp[j] < 0:
+                starts_exp[j] = i
+        starts_exp[me] = len(signal)
+        for k in range(me - 1, -1, -1):
+            if starts_exp[k] < 0:
+                starts_exp[k] = starts_exp[k + 1]
+        starts_exp[0] = 0
+    starts = starts_exp[::expand].astype(np.int32)
     starts[m] = len(signal)
-    for k in range(m - 1, -1, -1):
-        if starts[k] < 0:
-            starts[k] = starts[k + 1]
-    starts[0] = 0
-    return starts.astype(np.int32)
+    return starts
 
 
 def events_from_starts(starts: np.ndarray, sequence: str):
