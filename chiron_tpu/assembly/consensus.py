@@ -72,6 +72,26 @@ def stick_kernel(bpread: str, prev_bpread: str) -> int:
     return len(prev_bpread)
 
 
+def _matching_blocks(a: str, b: str):
+    """difflib.SequenceMatcher(a, b).get_matching_blocks() semantics.
+
+    Short pairs (the per-window case) run in the native kernel
+    (native/assembly.cc:chiron_simple_blocks); len(b) >= 200 defers to
+    difflib itself, whose autojunk heuristic changes block selection there.
+    """
+    if len(b) < 200 and len(a) < (1 << 20):
+        lib = _load_native()
+        if lib is not None:
+            cap = min(len(a), len(b)) + 2
+            out = np.empty((cap, 3), np.int64)
+            cnt = lib.chiron_simple_blocks(
+                a.encode(), len(a), b.encode(), len(b), out, cap
+            )
+            if cnt > 0:
+                return [tuple(row) for row in out[:cnt]]
+    return difflib.SequenceMatcher(a=a, b=b).get_matching_blocks()
+
+
 def simple_kernel(
     bpread: str, prev_bpread: str, error_rate: float, jump_step_ratio: float
 ) -> Tuple[int, float]:
@@ -81,20 +101,18 @@ def simple_kernel(
     p_diff = 1 - p_same
     ns: dict = {}
     n = len(bpread)
-    match_blocks = difflib.SequenceMatcher(
-        a=bpread, b=prev_bpread
-    ).get_matching_blocks()
-    for block in match_blocks:
+    for block in _matching_blocks(bpread, prev_bpread):
         offset = block[1] - block[0]
         ns[offset] = ns.get(offset, 0) + block[2]
+    log_same = np.log(p_same / 0.25)
     log_px = {}
     for key, same_count in ns.items():
         k = -key if key < 0 else key
         rate = back_ratio * n * jump_step_ratio if key < 0 else n * jump_step_ratio
         log_px[key] = (
             k * np.log(rate)
-            - sum(np.log(x + 1) for x in range(k))
-            + same_count * np.log(p_same / 0.25)
+            - math.lgamma(k + 1)  # == sum(log(1..k)), O(1)
+            + same_count * log_same
             + 0.0  # nd[offset] is always 0 in the reference too
         )
     disp = max(log_px, key=log_px.get)
@@ -117,6 +135,11 @@ def _nw_align(a: str, b: str, match=1, mismatch=-3, gap_open=-5, gap_extend=-2):
     ptrM = np.zeros((n + 1, m + 1), np.int8)  # 0=M,1=X,2=Y source
     ptrX = np.zeros((n + 1, m + 1), np.int8)
     ptrY = np.zeros((n + 1, m + 1), np.int8)
+    # one batch of vector ops per row: M depends only on the previous row's
+    # diagonal, and the in-row chain Y[j] = max(M[j-1]+open, Y[j-1]+ext)
+    # unrolls to a running maximum over M[j'] + open - ext*j' (scores are
+    # small integers, so the reassociation is exact)
+    jar = np.arange(m)
     for i in range(1, n + 1):
         sub = np.where(av[i - 1] == bv, match, mismatch)
         # X: gap in b (move down): from M/X above
@@ -124,18 +147,19 @@ def _nw_align(a: str, b: str, match=1, mismatch=-3, gap_open=-5, gap_extend=-2):
         extx = X[i - 1, :] + gap_extend
         X[i, :] = np.maximum(openx, extx)
         ptrX[i, :] = (extx > openx).astype(np.int8)  # 1 if extending X
-        for j in range(1, m + 1):
-            yopen = M[i, j - 1] + gap_open + gap_extend
-            yext = Y[i, j - 1] + gap_extend
-            if yext > yopen:
-                Y[i, j] = yext
-                ptrY[i, j] = 2
-            else:
-                Y[i, j] = yopen
-            cands = (M[i - 1, j - 1], X[i - 1, j - 1], Y[i - 1, j - 1])
-            k = int(np.argmax(cands))
-            M[i, j] = cands[k] + sub[j - 1]
-            ptrM[i, j] = k
+        # M: diagonal from the previous row, first-max tie order (M, X, Y)
+        cands = np.stack([M[i - 1, :-1], X[i - 1, :-1], Y[i - 1, :-1]])
+        k = np.argmax(cands, axis=0)
+        M[i, 1:] = np.take_along_axis(cands, k[None], 0)[0] + sub
+        ptrM[i, 1:] = k.astype(np.int8)
+        # Y: running-max scan over in-row chain starts
+        t = M[i, :-1] + gap_open - gap_extend * jar
+        t[0] = max(t[0], neg)  # the Y[i, 0] = neg extension chain
+        Y[i, 1:] = np.maximum.accumulate(t) + gap_extend * (jar + 1)
+        ptrY[i, 1:] = np.where(
+            Y[i, :-1] + gap_extend > M[i, :-1] + (gap_open + gap_extend),
+            np.int8(2), np.int8(0),
+        )
     # traceback from best of three at (n, m)
     state = int(np.argmax((M[n, m], X[n, m], Y[n, m])))
     i, j = n, m
@@ -186,8 +210,22 @@ def _match_blocks(align_a: str, align_b: str):
     return blocks
 
 
+_INT64_MIN = -(1 << 63)
+
+
 def global_kernel(bpread: str, prev_bpread: str) -> int:
     """Displacement from the longest gap-free block of a global alignment."""
+    if len(bpread) * len(prev_bpread) < (1 << 22):
+        # native DP, cell-for-cell parity with the numpy path below
+        lib = _load_native()
+        if lib is not None:
+            disp = lib.chiron_global_disp(
+                prev_bpread.encode(), len(prev_bpread),
+                bpread.encode(), len(bpread),
+            )
+            if disp == _INT64_MIN:
+                raise ValueError("Alignment not found")
+            return disp
     align_prev, align_cur = _nw_align(prev_bpread, bpread)
     blocks = _match_blocks(align_prev, align_cur)
     if not blocks:
@@ -238,7 +276,12 @@ def _load_native():
     )
     lib_path = os.path.join(native_dir, "libchiron_native.so")
     try:
-        if not os.path.exists(lib_path):
+        stale = not os.path.exists(lib_path) or any(
+            os.path.getmtime(os.path.join(native_dir, f)) >
+            os.path.getmtime(lib_path)
+            for f in os.listdir(native_dir) if f.endswith(".cc")
+        )
+        if stale:
             subprocess.run(["make", "-C", native_dir], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(lib_path)
@@ -251,6 +294,18 @@ def _load_native():
             ctypes.c_int,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+        ]
+        lib.chiron_global_disp.restype = ctypes.c_longlong
+        lib.chiron_global_disp.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib.chiron_simple_blocks.restype = ctypes.c_longlong
+        lib.chiron_simple_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_longlong,
         ]
     except (OSError, AttributeError, subprocess.SubprocessError):

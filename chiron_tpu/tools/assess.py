@@ -83,47 +83,66 @@ def banded_global_align(
     # row 0
     lo0, hi0 = col_range(0)
     M[0 - lo0 + 0] = 0  # j=0
-    for j in range(1, hi0):
-        Y[j - lo0] = gap_open + gap_extend * j
-        ptrY[0, j - lo0] = 2 if j > 1 else 0
+    js = np.arange(1, hi0)
+    Y[js - lo0] = gap_open + gap_extend * js
+    ptrY[0, js[js > 1] - lo0] = 2
     prevM, prevX, prevY, prev_lo = M.copy(), X.copy(), Y.copy(), lo0
+    karange = np.arange(width)
+    # each row is one batch of vector ops: X and M read the previous row at
+    # band offset ``sh`` (0 while the band's left edge sits at column 0, then
+    # 1 once it slides), and the in-row Y chain Y[k] = max(M[k-1]+open,
+    # Y[k-1]+ext) unrolls to a running maximum over M[j'] + open - ext*j'
+    # (scores are small integers, so the reassociation is exact)
     for i in range(1, n + 1):
         lo, hi = col_range(i)
+        sh = lo - prev_lo
+        nk = hi - lo
+        valid = karange < nk
         M = np.full(width, neg, np.int64)
         X = np.full(width, neg, np.int64)
         Y = np.full(width, neg, np.int64)
-        for j in range(lo, hi):
-            k = j - lo
-            pk = j - prev_lo
-            # X: consume a[i-1] (gap in reference -> insertion)
-            if 0 <= pk < width:
-                xo = prevM[pk] + gap_open + gap_extend
-                xe = prevX[pk] + gap_extend
-                if xe > xo:
-                    X[k] = xe
-                    ptrX[i, k] = 1
-                else:
-                    X[k] = xo
-                    ptrX[i, k] = 0
-            # Y: consume b[j-1] (deletion)
-            if j - 1 >= lo:
-                yo = M[k - 1] + gap_open + gap_extend
-                ye = Y[k - 1] + gap_extend
-                if ye > yo:
-                    Y[k] = ye
-                    ptrY[i, k] = 2
-                else:
-                    Y[k] = yo
-                    ptrY[i, k] = 0
-            # M: diagonal
-            if j >= 1 and 0 <= (j - 1 - prev_lo) < width:
-                pd = j - 1 - prev_lo
-                cands = (prevM[pd], prevX[pd], prevY[pd])
-                kk = int(np.argmax(cands))
-                if cands[kk] > neg:
-                    sub = match if av[i - 1] == bv[j - 1] else mismatch
-                    M[k] = cands[kk] + sub
-                    ptrM[i, k] = kk
+        # X: consume a[i-1] (gap in reference -> insertion), from prev row
+        pm = prevM[sh:] if sh else prevM
+        px = prevX[sh:] if sh else prevX
+        nx = len(pm)
+        xo = pm + (gap_open + gap_extend)
+        xe = px + gap_extend
+        X[:nx] = np.where(valid[:nx], np.maximum(xo, xe), neg)
+        ptrX[i, :nx] = np.where(valid[:nx], (xe > xo).view(np.int8), 0)
+        ptrX[i, nx:] = 0
+        # M: diagonal from prev row (j - 1 -> band offset k + sh - 1)
+        d0 = sh - 1 + max(0, 1 - lo)  # prev index for the first j >= 1
+        k0 = max(0, 1 - lo)           # first k with j >= 1
+        if d0 < 0:
+            d0, k0 = d0 + 1, k0 + 1
+        pd_m, pd_x, pd_y = prevM[d0:], prevX[d0:], prevY[d0:]
+        nd = min(len(pd_m), width - k0)
+        cands = np.stack([pd_m[:nd], pd_x[:nd], pd_y[:nd]])
+        kk = np.argmax(cands, axis=0)
+        best = np.take_along_axis(cands, kk[None], 0)[0]
+        ok = valid[k0:k0 + nd] & (best > neg)
+        jcols = lo + karange[k0:k0 + nd]
+        # columns past the band edge are masked by ``ok``; clamp their index
+        sub = np.where(av[i - 1] == bv[np.minimum(jcols - 1, m - 1)],
+                       match, mismatch)
+        M[k0:k0 + nd] = np.where(ok, best + sub, neg)
+        ptrM[i, k0:k0 + nd] = np.where(ok, kk.astype(np.int8), 0)
+        ptrM[i, :k0] = 0
+        ptrM[i, k0 + nd:] = 0
+        # Y: in-row scan. t[k] = best chain start at column k (M[k] + open
+        # - ext*k, with the neg Y[0] chain as floor), Y[k] = run_max + ext*k
+        if nk > 1:
+            t = M[:nk - 1] + gap_open - gap_extend * karange[:nk - 1]
+            t[0] = max(t[0], neg)  # the Y[k=0] = neg extension chain
+            run = np.maximum.accumulate(t)
+            ycand = run + gap_extend * karange[1:nk]
+            Y[1:nk] = np.where(valid[1:nk], ycand, neg)
+            ext_wins = Y[:nk - 1] + gap_extend > M[:nk - 1] + (
+                gap_open + gap_extend
+            )
+            ptrY[i, 1:nk] = np.where(ext_wins, np.int8(2), np.int8(0))
+            ptrY[i, 0] = 0
+            ptrY[i, nk:] = 0
         prevM, prevX, prevY, prev_lo = M, X, Y, lo
     lo, hi = col_range(n)
     k = m - lo

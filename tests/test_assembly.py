@@ -120,3 +120,117 @@ def test_native_assembly_matches_python():
         np.testing.assert_array_equal(nat_c, py_c)
         np.testing.assert_allclose(nat_q, py_q, rtol=1e-6, atol=1e-9)
         np.testing.assert_array_equal(nat_c, py_c2)
+
+
+def _mutate(rng, seq, err):
+    out = []
+    for c in seq:
+        r = rng.rand()
+        if r < err / 3:
+            continue
+        if r < 2 * err / 3:
+            out.append("ACGT"[rng.randint(4)])
+        else:
+            out.append(c)
+            if rng.rand() < err / 3:
+                out.append("ACGT"[rng.randint(4)])
+    return "".join(out)
+
+
+def test_matching_blocks_difflib_parity():
+    # the native fast path must reproduce difflib block for block
+    import difflib
+
+    from chiron_tpu.assembly.consensus import _matching_blocks
+
+    rng = np.random.RandomState(3)
+    for _ in range(150):
+        a = _random_seq(rng, rng.randint(0, 199))
+        b = _mutate(rng, a, rng.choice([0.05, 0.3, 0.9]))[:198]
+        got = _matching_blocks(a, b)
+        want = [tuple(bl)
+                for bl in difflib.SequenceMatcher(a=a, b=b).get_matching_blocks()]
+        assert got == want, (a, b)
+
+
+def test_global_kernel_native_matches_numpy():
+    from chiron_tpu.assembly.consensus import (_load_native, _match_blocks,
+                                               _nw_align)
+
+    if _load_native() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(4)
+    for _ in range(60):
+        n = rng.randint(3, 220)
+        prev = _random_seq(rng, n)
+        cur = _mutate(rng, prev[n // 2:] + _random_seq(rng, n // 2),
+                      rng.choice([0.05, 0.15, 0.4]))
+        if not cur:
+            continue
+        native = global_kernel(cur, prev)
+        ap, ac = _nw_align(prev, cur)
+        block = max(_match_blocks(ap, ac), key=lambda x: x[0])
+        assert native == block[1] - block[2]
+
+
+def test_nw_align_scalar_parity():
+    # the row-vectorised DP must match a cell-by-cell scalar evaluation
+    from chiron_tpu.assembly.consensus import _nw_align
+
+    def scalar(a, b, match=1, mismatch=-3, go=-5, ge=-2):
+        n, m = len(a), len(b)
+        neg = -1e9
+        M = np.full((n + 1, m + 1), neg)
+        X = np.full((n + 1, m + 1), neg)
+        Y = np.full((n + 1, m + 1), neg)
+        M[0, 0] = 0.0
+        Y[0, 1:] = go + ge * np.arange(m)
+        pM = np.zeros((n + 1, m + 1), np.int8)
+        pX = np.zeros((n + 1, m + 1), np.int8)
+        pY = np.zeros((n + 1, m + 1), np.int8)
+        for i in range(1, n + 1):
+            for j in range(0, m + 1):
+                xo = M[i - 1, j] + go + ge
+                xe = X[i - 1, j] + ge
+                X[i, j] = max(xo, xe)
+                pX[i, j] = 1 if xe > xo else 0
+            for j in range(1, m + 1):
+                yo = M[i, j - 1] + go + ge
+                ye = Y[i, j - 1] + ge
+                if ye > yo:
+                    Y[i, j] = ye
+                    pY[i, j] = 2
+                else:
+                    Y[i, j] = yo
+                cands = (M[i - 1, j - 1], X[i - 1, j - 1], Y[i - 1, j - 1])
+                k = int(np.argmax(cands))
+                sub = match if a[i - 1] == b[j - 1] else mismatch
+                M[i, j] = cands[k] + sub
+                pM[i, j] = k
+        state = int(np.argmax((M[n, m], X[n, m], Y[n, m])))
+        i, j = n, m
+        oa, ob = [], []
+        while i > 0 or j > 0:
+            if state == 0 and i > 0 and j > 0:
+                oa.append(a[i - 1])
+                ob.append(b[j - 1])
+                state = int(pM[i, j]); i -= 1; j -= 1
+            elif state == 1 and i > 0:
+                oa.append(a[i - 1]); ob.append("-")
+                state = 0 if pX[i, j] == 0 else 1; i -= 1
+            elif j > 0:
+                oa.append("-"); ob.append(b[j - 1])
+                state = 0 if pY[i, j] == 0 else 2; j -= 1
+            else:
+                break
+        return "".join(reversed(oa)), "".join(reversed(ob))
+
+    rng = np.random.RandomState(5)
+    for _ in range(25):
+        a = _random_seq(rng, rng.randint(1, 60))
+        b = _mutate(rng, a, rng.choice([0.1, 0.5]))
+        if not b:
+            continue
+        assert _nw_align(a, b) == scalar(a, b)

@@ -264,3 +264,122 @@ def test_dedup_fasta(tmp_path):
     n_in, n_out = dedup_fast(str(fq), str(out2))
     assert (n_in, n_out) == (3, 2)
     assert out2.read_text() == "@r1\nTTTT\n+\n!!!!\n@r2\nGG\n+\n##\n"
+
+
+def test_banded_align_scalar_parity():
+    # the row-vectorised banded DP must match a cell-by-cell scalar pass
+    import numpy as np
+
+    from chiron_tpu.tools.assess import banded_global_align
+
+    def scalar(a, b, band, match=1, mismatch=-3, go=-2 - 3, ge=-2):
+        # affine scores inline: open = -5 (plus extend on first gap char)
+        go, ge = -5, -2
+        n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            return 0, 0, n, m
+        av = np.frombuffer(a.encode(), np.uint8)
+        bv = np.frombuffer(b.encode(), np.uint8)
+        neg = -(1 << 30)
+        width = 2 * band + 1
+        M = np.full(width, neg, np.int64)
+        X = np.full(width, neg, np.int64)
+        Y = np.full(width, neg, np.int64)
+        pM = np.zeros((n + 1, width), np.int8)
+        pX = np.zeros((n + 1, width), np.int8)
+        pY = np.zeros((n + 1, width), np.int8)
+
+        def rng_(i):
+            return max(0, i - band), min(m, i + band) + 1
+
+        lo0, hi0 = rng_(0)
+        M[0 - lo0] = 0
+        for j in range(1, hi0):
+            Y[j - lo0] = go + ge * j
+            pY[0, j - lo0] = 2 if j > 1 else 0
+        prevM, prevX, prevY, prev_lo = M.copy(), X.copy(), Y.copy(), lo0
+        for i in range(1, n + 1):
+            lo, hi = rng_(i)
+            M = np.full(width, neg, np.int64)
+            X = np.full(width, neg, np.int64)
+            Y = np.full(width, neg, np.int64)
+            for j in range(lo, hi):
+                k = j - lo
+                pk = j - prev_lo
+                if 0 <= pk < width:
+                    xo = prevM[pk] + go + ge
+                    xe = prevX[pk] + ge
+                    if xe > xo:
+                        X[k] = xe
+                        pX[i, k] = 1
+                    else:
+                        X[k] = xo
+                if j - 1 >= lo:
+                    yo = M[k - 1] + go + ge
+                    ye = Y[k - 1] + ge
+                    if ye > yo:
+                        Y[k] = ye
+                        pY[i, k] = 2
+                    else:
+                        Y[k] = yo
+                if j >= 1 and 0 <= (j - 1 - prev_lo) < width:
+                    pd = j - 1 - prev_lo
+                    cands = (prevM[pd], prevX[pd], prevY[pd])
+                    kk = int(np.argmax(cands))
+                    if cands[kk] > neg:
+                        sub = match if av[i - 1] == bv[j - 1] else mismatch
+                        M[k] = cands[kk] + sub
+                        pM[i, k] = kk
+            prevM, prevX, prevY, prev_lo = M, X, Y, lo
+        lo, hi = rng_(n)
+        k = m - lo
+        if not (0 <= k < width):
+            return 0, 0, n, m
+        state = int(np.argmax((M[k], X[k], Y[k])))
+        i, j = n, m
+        ma = mi = ins = de = 0
+        while i > 0 or j > 0:
+            k = j - max(0, i - band)
+            if state == 0 and i > 0 and j > 0:
+                if av[i - 1] == bv[j - 1]:
+                    ma += 1
+                else:
+                    mi += 1
+                state = int(pM[i, k]); i -= 1; j -= 1
+            elif state == 1 and i > 0:
+                ins += 1
+                state = 0 if pX[i, k] == 0 else 1
+                i -= 1
+            elif j > 0:
+                de += 1
+                state = 0 if pY[i, k] == 0 else 2
+                j -= 1
+            else:
+                ins += i
+                break
+        return ma, mi, ins, de
+
+    rng = np.random.RandomState(6)
+
+    def mut(seq, err):
+        out = []
+        for c in seq:
+            r = rng.rand()
+            if r < err / 3:
+                continue
+            if r < 2 * err / 3:
+                out.append("ACGT"[rng.randint(4)])
+            else:
+                out.append(c)
+                if rng.rand() < err / 3:
+                    out.append("ACGT"[rng.randint(4)])
+        return "".join(out)
+
+    for _ in range(40):
+        n = rng.randint(1, 180)
+        ref = "".join("ACGT"[i] for i in rng.randint(0, 4, n))
+        called = mut(ref, rng.choice([0.0, 0.05, 0.2, 0.5]))
+        band = int(rng.choice([2, 4, 8, 64]))
+        assert banded_global_align(called, ref, band) == scalar(
+            called, ref, band
+        ), (called, ref, band)
