@@ -169,16 +169,26 @@ class Dataset:
 
 def load_dataset(
     data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10, sig_norm=None,
-    tfrecord=None,
-) -> Dataset:
+    tfrecord=None, cache_dir=None,
+):
     """Load training segments from .signal/.label pairs, a .bin folder, OR
     a TFRecord file.
 
     A folder with a ``data.meta`` descriptor is the fixed-record .bin batch
     layout (file_batch output, chiron_queue_input's source); ``tfrecord``
     selects the reference's TFRecord training layout (chiron_input.py:318);
-    anything else is walked for .signal/.label pairs.
+    anything else is walked for .signal/.label pairs. ``cache_dir`` selects
+    the out-of-core path (io/cache.py — the biglist spill equivalent,
+    chiron_input.py:42-120): windows stream to disk shards and batches are
+    served by positioned reads in bounded RSS.
     """
+    if cache_dir:
+        from chiron_tpu.io.cache import cached_dataset
+
+        return cached_dataset(
+            data_dir, cache_dir, seq_len, k_mer=k_mer, skip_start=skip_start,
+            sig_norm=sig_norm, max_segments=max_segments,
+        )
     if not tfrecord and os.path.isfile(data_dir) and data_dir.endswith(
         (".tfrecord", ".tfrecords")
     ):
@@ -251,13 +261,15 @@ def train(hparams) -> Dict[str, Any]:
         max_segments=getattr(hparams, "segments_num", None),
         sig_norm=sig_norm,
         tfrecord=getattr(hparams, "tfrecord", None),
+        cache_dir=getattr(hparams, "train_cache", None),
     )
     if dataset.n == 0:
         raise ValueError(f"No training segments found under {hparams.data_dir}")
     print(f"Loaded {dataset.n} training segments")
     valid = None
     if getattr(hparams, "validation", None):
-        valid = load_dataset(hparams.validation, seq_len, sig_norm=sig_norm)
+        valid = load_dataset(hparams.validation, seq_len, sig_norm=sig_norm,
+                             cache_dir=getattr(hparams, "valid_cache", None))
 
     params, start_step = (None, None)
     if getattr(hparams, "retrain", False):
@@ -293,6 +305,8 @@ def train(hparams) -> Dict[str, Any]:
             and dataset._pos == 0
         ):
             skip_start += offset_inc
+            if hasattr(dataset, "close"):
+                dataset.close()
             dataset = load_dataset(
                 hparams.data_dir, seq_len,
                 k_mer=int(getattr(hparams, "k_mer", 1)),
@@ -300,6 +314,7 @@ def train(hparams) -> Dict[str, Any]:
                 skip_start=skip_start,
                 sig_norm=sig_norm,
                 tfrecord=getattr(hparams, "tfrecord", None),
+                cache_dir=getattr(hparams, "train_cache", None),
             )
         batch = dataset.next_batch(batch_size)
         batch["seq_len"] = np.round(batch["seq_len"] / ratio).astype(np.int32)

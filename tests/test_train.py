@@ -67,6 +67,20 @@ def test_training_reduces_loss_and_learns(tmp_path):
     assert any(f.startswith("ema-") for f in os.listdir(mdir))
 
 
+def test_training_with_out_of_core_cache(tmp_path):
+    # --train_cache routes batches through the on-disk window cache
+    from chiron_tpu.train import loop
+
+    make_training_dir(os.path.join(str(tmp_path), "train"), n_files=2,
+                      n_bases=300, seed=2)
+    h = _hparams(tmp_path, configure=_tiny_config(tmp_path), max_steps=20,
+                 train_cache=os.path.join(str(tmp_path), "cache"))
+    result = loop.train(h)
+    assert result["final_loss"] is not None
+    assert os.path.exists(os.path.join(str(tmp_path), "cache",
+                                       "cache.meta.json"))
+
+
 def test_retrain_restores(tmp_path):
     from chiron_tpu.train import loop
 
