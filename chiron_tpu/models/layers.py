@@ -107,6 +107,18 @@ def global_bn(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray) -> jnp.nd
     return (x.astype(jnp.float32) - mean) * inv * scale + offset
 
 
+def pop_bn(x, scale, offset, mean, var) -> jnp.ndarray:
+    """Population-statistics batch norm (inference branch of the
+    reference's older ``batchnorm``, chiron/cnn.py:125-163, eps 1e-5).
+
+    Selected when a conv's params carry bn_mean/bn_var — the layout
+    tools/convert_tf_checkpoint.py emits for the shipped "pop"-dialect
+    checkpoints. A pure elementwise affine: XLA fuses it into the conv.
+    """
+    inv = lax.rsqrt(var.astype(jnp.float32) + _BN_EPS)
+    return (x.astype(jnp.float32) - mean) * inv * scale + offset
+
+
 _ACTIVATIONS = {
     "relu": jax.nn.relu,
     "sigmoid": jax.nn.sigmoid,
@@ -143,7 +155,10 @@ def conv(
     y = store_activation(y)
     if "b" in params:
         y = y + store_activation(params["b"])
-    if "bn_scale" in params:
+    if "bn_mean" in params:
+        y = pop_bn(y, params["bn_scale"], params["bn_offset"],
+                   params["bn_mean"], params["bn_var"])
+    elif "bn_scale" in params:
         y = global_bn(y, params["bn_scale"], params["bn_offset"])
     if active is not None:
         y = _ACTIVATIONS[active](y)

@@ -84,8 +84,7 @@ def test_lstm_kernel_split_semantics():
     tensors = _fake_tf_checkpoint(config, hidden=100, seed=4)
     params = convert(tensors.__getitem__, config)
     kern = tensors[
-        "BDLSTM_rnn/stack_bidirectional_rnn/cell_0/bidirectional_rnn/fw/"
-        "lstm_cell/kernel"
+        "BDLSTM_rnn/cell_0/bidirectional_rnn/fw/lstm_cell/kernel"
     ]
     cell = params["rnn"]["stack"]["layers"][0]["fw"]
     c_in = kern.shape[0] - 100
