@@ -1,0 +1,159 @@
+"""Accuracy benchmark: writes ACCURACY.json with the framework's accuracy axes.
+
+The reference measures basecall accuracy externally (graphmap + samtools +
+japsa identity metrics, chiron/utils/assess.sh:15-20; paper GigaScience
+giy037). This harness makes accuracy a first-class, diffable number using
+the framework's own aligner (chiron_tpu/tools/assess.py):
+
+  1. real_dna — basecall the reference's committed example reads
+     (/root/reference/chiron/example_data/DNA raw signal) with the bundled
+     DNA_default model and align against the reference's committed golden
+     fastq (example_data/DNA/output/result/*.fastq). This measures agreement
+     with the reference's trained model on REAL R9.4 signal. The bundled
+     model never trains on these reads; the only information flow from them
+     is the EM-estimated k-mer pore table used by the simulator
+     (tools/pore_estimate.py), noted below.
+  2. synthetic_dna / synthetic_rna — basecall a held-out simulated corpus
+     (seed disjoint from every training corpus) and align against the true
+     sequences. This is the controlled identity number tracked
+     round-over-round.
+
+Usage:  python accuracy.py [--cpu] [--beam N] [--quick]
+Output: one JSON document in ACCURACY.json + a summary line per axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import types
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+REFERENCE_DNA = "/root/reference/chiron/example_data/DNA"
+MODEL_DNA = os.path.join(REPO, "chiron_tpu", "model", "DNA_default")
+MODEL_RNA = os.path.join(REPO, "chiron_tpu", "model", "RNA_default")
+
+# held-out simulation seeds: every training corpus must use different ones
+HOLDOUT_SEED_DNA = 991
+HOLDOUT_SEED_RNA = 992
+
+
+def _flags(input_dir, output_dir, model_dir, mode="dna", beam=30,
+           batch=400, seg=400, jump=390):
+    return types.SimpleNamespace(
+        input=input_dir, output=output_dir, model=model_dir,
+        start=0, batch_size=batch, segment_len=seg, jump=jump, threads=0,
+        beam=beam, extension="fastq", concise=False, mode=mode,
+        reverse_fast5=False, recursive=False, sig_norm=1, bf16=False,
+    )
+
+
+def _call(flags):
+    from chiron_tpu.eval.pipeline import evaluation
+
+    return evaluation(flags)
+
+
+def measure_real_dna(work: str, beam: int) -> dict:
+    """Identity of our basecalls vs the reference golden fastq (real signal)."""
+    from chiron_tpu.tools.assess import assess_dir
+
+    raw = os.path.join(REFERENCE_DNA, "output", "raw")
+    golden = os.path.join(REFERENCE_DNA, "output", "result")
+    if not (os.path.isdir(raw) and os.path.isdir(golden)):
+        return {"skipped": "reference example data absent"}
+    out = os.path.join(work, "real_dna")
+    _call(_flags(raw, out, MODEL_DNA, beam=beam))
+    report = assess_dir(os.path.join(out, "result"), golden)
+    s = report["summary"]
+    s["per_read_identity"] = {
+        name: round(r["identity"], 4) for name, r in sorted(report["reads"].items())
+    }
+    return s
+
+
+def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
+                   n_bases: int) -> dict:
+    """Held-out simulated corpus -> basecall -> identity vs truth."""
+    from chiron_tpu.tools.assess import assess_dir
+    from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
+
+    model_dir = MODEL_DNA if mode == "dna" else MODEL_RNA
+    pore_path = os.path.join(model_dir, "pore_model.tsv")
+    pore = KmerModel.load(pore_path) if os.path.exists(pore_path) else (
+        KmerModel.synthetic()
+    )
+    seed = HOLDOUT_SEED_DNA if mode == "dna" else HOLDOUT_SEED_RNA
+    cfg = SimConfig() if mode == "dna" else SimConfig.rna()
+    data = os.path.join(work, f"synth_{mode}_data")
+    truth = os.path.join(work, f"truth_{mode}.fasta")
+    simulate_corpus(data, n_reads, n_bases, seed=seed, model=pore, cfg=cfg,
+                    fasta=truth)
+    out = os.path.join(work, f"synth_{mode}_out")
+    if mode == "dna":
+        flags = _flags(data, out, model_dir, mode="dna", beam=beam)
+    else:
+        flags = _flags(data, out, model_dir, mode="rna", beam=beam,
+                       batch=100, seg=2000, jump=1900)
+    _call(flags)
+    report = assess_dir(os.path.join(out, "result"), truth)
+    s = report["summary"]
+    s["n_bases_per_read"] = n_bases
+    s["pore_model"] = os.path.relpath(pore_path, REPO) if os.path.exists(
+        pore_path) else "synthetic(seed=1234)"
+    return s
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Accuracy benchmark -> ACCURACY.json")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--beam", type=int, default=30,
+                   help="beam width (0 = greedy)")
+    p.add_argument("--quick", action="store_true",
+                   help="small synthetic corpora (CI-scale)")
+    p.add_argument("--skip", default="",
+                   help="comma list of axes to skip (real_dna,synthetic_dna,"
+                        "synthetic_rna)")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    skip = set(filter(None, args.skip.split(",")))
+    n_reads = 5 if args.quick else 20
+    work = tempfile.mkdtemp(prefix="chiron_acc_")
+    out = {"beam": args.beam}
+    try:
+        if "real_dna" not in skip:
+            out["real_dna"] = measure_real_dna(work, args.beam)
+            print(f"real_dna identity:       "
+                  f"{out['real_dna'].get('identity', 0):.4f}")
+        if "synthetic_dna" not in skip:
+            out["synthetic_dna"] = _measure_synth(
+                work, "dna", args.beam, n_reads, 1000 if args.quick else 4000)
+            print(f"synthetic_dna identity:  "
+                  f"{out['synthetic_dna']['identity']:.4f}")
+        if "synthetic_rna" not in skip:
+            out["synthetic_rna"] = _measure_synth(
+                work, "rna", args.beam, max(2, n_reads // 4),
+                500 if args.quick else 2000)
+            print(f"synthetic_rna identity:  "
+                  f"{out['synthetic_rna']['identity']:.4f}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    path = os.path.join(REPO, "ACCURACY.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+        f.write("\n")
+    print(f"Wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
