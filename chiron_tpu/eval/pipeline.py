@@ -142,7 +142,7 @@ def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
         prob = path_prob(logits)
         if beam == 0:
             decoded, lengths, score = greedy_decode(logits, seq_len)
-        elif use_pallas_beam and beam <= 32:
+        elif use_pallas_beam and beam <= 64:
             from chiron_tpu.ops.pallas.beam import beam_search_pallas
 
             decoded, lengths, score = beam_search_pallas(

@@ -14,17 +14,23 @@ kernels run the whole search in TWO pallas programs:
 
 Layout (the key to VPU efficiency): BATCH rides the 128-wide LANE axis and
 beams/candidates ride the SUBLANE axis. TPU vregs are (8 sublanes x 128
-lanes); a [W=32, TB=128] state array packs vregs exactly, whereas the
-transposed [TB, 32] form pads 32 lanes up to 128 and wastes 3/4 of every
+lanes); a [seg, TB=128] state array packs vregs exactly, whereas the
+transposed [TB, seg] form pads seg lanes up to 128 and wastes most of every
 VPU op. The candidate axis only needs sublane granularity (multiple of 8),
-so the pool is exactly CAND=160 rows — no padding to 256 lanes — and all
-cross-candidate reductions (top-k max, merge sums, one-hot gathers) are
+so the pool is exactly CAND = 5*seg rows — no padding to full lanes — and
+all cross-candidate reductions (top-k max, merge sums, one-hot gathers) are
 cheap sublane trees instead of lane shuffles.
 
-Candidate layout per lane (batch element): sublanes [0,32) hold the W stay
-candidates; sublanes [32*(c+1), 32*(c+2)) hold extend-with-label-c
-candidates. Row arithmetic (row//32, row%32) recovers (char, parent) after
-top-k.
+The segment height ``seg`` (beam-state rows) is the smallest multiple of 8
+covering the beam width, so W=30 runs at seg=32 and the reference's
+published beam-50 preset (README.md:146-149) runs at seg=56 instead of
+falling off a 40x cliff onto the XLA path. Widths beyond MAX_SEG fall back
+to XLA.
+
+Candidate layout per lane (batch element): sublanes [0,seg) hold the W stay
+candidates; sublanes [seg*(c+1), seg*(c+2)) hold extend-with-label-c
+candidates. Row arithmetic (row//seg, row%seg) recovers (char, parent)
+after top-k.
 
 Semantics are identical to ops/ctc_beam.py (same scoring, same rolling-hash
 merge, ties broken toward the lowest candidate index).
@@ -46,9 +52,13 @@ _NEG = -1e30
 _H1_MULT = np.int32(-1640531535)  # 2654435761 as int32 (same bits)
 _H2_MULT = np.int32(0x01000193)
 NLAB = 4  # non-blank labels
-SEG = 32  # candidate segment height (>= W)
 NSEG = NLAB + 1
-CAND = SEG * NSEG  # 160 sublane rows (already a multiple of 8)
+MAX_SEG = 64  # widest supported beam (merge matrix is [seg, seg, TB])
+
+
+def seg_for(w: int) -> int:
+    """Beam-state rows for width w: smallest multiple of 8 >= w."""
+    return -(-w // 8) * 8
 
 
 def _lae(a, b):
@@ -58,21 +68,22 @@ def _lae(a, b):
     return jnp.where(mx <= _NEG / 2, _NEG, mx + jnp.log1p(jnp.exp(mn - mx)))
 
 
-def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
+def _beam_kernel(w, seg, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
-    # w is a STATIC python int (beam width baked into the program)
+    # w and seg are STATIC python ints (baked into the program)
     t = pl.program_id(1)
     tb = pb_s.shape[1]  # lane width = batch tile
-    row = jax.lax.broadcasted_iota(jnp.int32, (SEG, tb), 0)
-    live = row < w  # [SEG, TB] valid beam slots
+    cand = seg * NSEG
+    row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
+    live = row < w  # [seg, TB] valid beam slots
 
     @pl.when(t == 0)
     def _():
         pb_s[:] = jnp.where(row == 0, 0.0, _NEG)
-        pnb_s[:] = jnp.full((SEG, tb), _NEG)
+        pnb_s[:] = jnp.full((seg, tb), _NEG)
         h1_s[:] = jnp.where(row == 0, 1, row * 7919 + 3)
         h2_s[:] = jnp.where(row == 0, 1, row * 104729 + 5)
-        last_s[:] = jnp.full((SEG, tb), -1, jnp.int32)
+        last_s[:] = jnp.full((seg, tb), -1, jnp.int32)
         # hash of the prefix WITHOUT the last char; garbage until a beam
         # holds a non-empty string (never matches a real hash)
         ph1_s[:] = row * 15485863 + 17
@@ -89,7 +100,7 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     lp = lp_ref[0]  # [8, TB] (5 classes padded to 8 sublanes)
     lp_blank = lp[BLANK:BLANK + 1]  # [1, TB]
     # lp at each beam's last label via 4-way select (no gathers on TPU)
-    lp_last = jnp.full((SEG, tb), 0.0)
+    lp_last = jnp.full((seg, tb), 0.0)
     for c in range(NLAB):
         lp_last = jnp.where(last == c, lp[c:c + 1], lp_last)
 
@@ -105,10 +116,10 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
         e = lp[c:c + 1] + base
         ext_pnb.append(jnp.where(live, e, _NEG))
 
-    # ---- merge extends into equal-hash stays (prefix-hash, [SEG x SEG]) --
+    # ---- merge extends into equal-hash stays (prefix-hash, [seg x seg]) --
     # An extend of parent X with label c produces stay Y's string iff
     # prefix(Y) == string(X) and last[Y] == c, so comparing X's FULL hash
-    # against Y's PREFIX hash (carried state) needs only a [SEG, SEG]
+    # against Y's PREFIX hash (carried state) needs only a [seg, seg]
     # matrix -- 4x less work than comparing against all (c, stay) pairs.
     live_i = live.astype(jnp.int32)  # i1 mid-dim inserts unsupported
     h1x = h1[:, None, :]            # extend parent X on axis 0
@@ -124,28 +135,28 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
         & (last_y >= 0)
     )
     # contribution value: the extend (X, c=last[Y]) non-blank mass
-    lp_y = jnp.full((SEG, tb), 0.0)         # lp at last[Y], per stay row
+    lp_y = jnp.full((seg, tb), 0.0)         # lp at last[Y], per stay row
     for c in range(NLAB):
         lp_y = jnp.where(last == c, lp[c:c + 1], lp_y)
     base_xy = jnp.where(
         last[:, None, :] == last_y, pb[:, None, :], pb_or_pnb[:, None, :]
     )
     contrib = jnp.where(eq, lp_y[None, :, :] + base_xy, _NEG)  # [X, Y, TB]
-    m_y = jnp.max(contrib, axis=0)                             # [SEG, TB]
+    m_y = jnp.max(contrib, axis=0)                             # [seg, TB]
     s_y = jnp.sum(jnp.where(eq, jnp.exp(contrib - m_y[None]), 0.0), axis=0)
     merged_total = jnp.where(
         m_y > _NEG / 2, m_y + jnp.log(jnp.maximum(s_y, 1e-37)), _NEG
     )
     # extend (X, c) is killed iff it merged into some stay with last == c
     killed = [
-        jnp.any(eq & (last_y == c), axis=1)  # [SEG, TB] over stays Y
+        jnp.any(eq & (last_y == c), axis=1)  # [seg, TB] over stays Y
         for c in range(NLAB)
     ]
     stay_pnb = _lae(stay_pnb, merged_total)
 
-    # ---- assemble candidate rows [CAND, TB] ------------------------------
+    # ---- assemble candidate rows [cand, TB] ------------------------------
     cand_pb = jnp.concatenate(
-        [stay_pb] + [jnp.full((SEG, tb), _NEG)] * NLAB, axis=0
+        [stay_pb] + [jnp.full((seg, tb), _NEG)] * NLAB, axis=0
     )
     cand_pnb = jnp.concatenate(
         [stay_pnb]
@@ -154,7 +165,7 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     )
     score = _lae(cand_pb, cand_pnb)
 
-    cl = jax.lax.broadcasted_iota(jnp.int32, (CAND, tb), 0)
+    cl = jax.lax.broadcasted_iota(jnp.int32, (cand, tb), 0)
 
     # ---- top-k phase 1: collect the k-th argmax indices ------------------
     # Iterative extract-max is inherently sequential but each iteration is
@@ -164,31 +175,31 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     live_rows = []
     for k in range(w):
         m = jnp.max(score, axis=0, keepdims=True)  # [1, TB]
-        idx = jnp.min(jnp.where(score >= m, cl, CAND), axis=0, keepdims=True)
+        idx = jnp.min(jnp.where(score >= m, cl, cand), axis=0, keepdims=True)
         idx_rows.append(idx)
         live_rows.append((m > _NEG / 2).astype(jnp.int32))  # i1 concat unsupported
         score = jnp.where(cl == idx, _NEG, score)
-    if w < SEG:  # inert tail slots
-        idx_rows.append(jnp.zeros((SEG - w, tb), jnp.int32))
-        live_rows.append(jnp.zeros((SEG - w, tb), jnp.int32))
-    idx_all = jnp.concatenate(idx_rows, axis=0)    # [SEG, TB]
-    picked_live = jnp.concatenate(live_rows, axis=0) > 0  # [SEG, TB]
+    if w < seg:  # inert tail slots
+        idx_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
+        live_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
+    idx_all = jnp.concatenate(idx_rows, axis=0)    # [seg, TB]
+    picked_live = jnp.concatenate(live_rows, axis=0) > 0  # [seg, TB]
 
     # ---- top-k phase 2: beam-domain one-hot gathers --------------------
     # Each slot's (parent, char) come straight from phase 1; every state
     # value is either the parent's (stay) or recomputable from the
-    # parent's state (extend), so all gathers run over the SEG=32 beam
-    # rows instead of the 160 candidate rows (5x less VPU work). A slot
+    # parent's state (extend), so all gathers run over the seg beam
+    # rows instead of the 5*seg candidate rows (5x less VPU work). A slot
     # with no live candidate receives a FRESH garbage hash (derived from
     # (t, k)) -- otherwise it would copy beam 0's hash and a later merge
     # could resurrect a duplicate prefix.
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (SEG, tb), 0)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
     valid = live & picked_live  # live == (row < w)
-    parents = jnp.where(valid, idx_all % SEG, kcol)
-    chars = jnp.where(valid, idx_all // SEG - 1, -1)
+    parents = jnp.where(valid, idx_all % seg, kcol)
+    chars = jnp.where(valid, idx_all // seg - 1, -1)
 
     onehot_p = parents[:, None, :] == jax.lax.broadcasted_iota(
-        jnp.int32, (SEG, SEG, tb), 1
+        jnp.int32, (seg, seg, tb), 1
     )  # [slot, parent, TB]
 
     def gat_f(arr):
@@ -205,7 +216,7 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     is_stay = chars < 0
     # extend value recomputed from the parent (killed extends can never be
     # selected: their candidate score is _NEG)
-    lp_c = jnp.full((SEG, tb), 0.0)
+    lp_c = jnp.full((seg, tb), 0.0)
     for c in range(NLAB):
         lp_c = jnp.where(chars == c, lp[c:c + 1], lp_c)
     ext_val = lp_c + jnp.where(p_last == chars, p_pb, p_pon)
@@ -242,15 +253,15 @@ def _beam_kernel(w, lens_ref, lp_ref, trace_ref,
     ph2_s[:] = jnp.where(active, new_ph2, ph2)
     out_parent = jnp.where(active, parents, row)
     out_char = jnp.where(active, chars, -1)
-    # pack (char, parent) into one int32 word: (char+1)*SEG + parent
-    trace_ref[0] = (out_char + 1) * SEG + out_parent
+    # pack (char, parent) into one int32 word: (char+1)*seg + parent
+    trace_ref[0] = (out_char + 1) * seg + out_parent
     # NOTE: final beam scores are rematerialised outside from pb/pnb outputs
 
 
 TRACE_CHUNK = 16
 
 
-def _traceback_kernel(best_ref, trace_in_ref, out_ref, w_scr):
+def _traceback_kernel(seg, best_ref, trace_in_ref, out_ref, w_scr):
     """Follow the best beam's parent chain, TRACE_CHUNK steps per grid step.
 
     The per-step work is a handful of tiny selects, so the grid is chunked
@@ -264,16 +275,16 @@ def _traceback_kernel(best_ref, trace_in_ref, out_ref, w_scr):
     def _():
         w_scr[:] = best_ref[:]
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (SEG, tb), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
     wcur = w_scr[:1, :]  # [1, TB] current beam per lane
     # the input block holds TRACE_CHUNK steps in FORWARD time order; walk
     # them backwards (the index map already reversed the chunk order)
     for j in range(TRACE_CHUNK - 1, -1, -1):
         onehot = row == wcur
-        packed = trace_in_ref[j]  # [SEG, TB]: (char+1)*SEG + parent
+        packed = trace_in_ref[j]  # [seg, TB]: (char+1)*seg + parent
         v = jnp.sum(jnp.where(onehot, packed, 0), axis=0, keepdims=True)
-        out_ref[j] = jnp.broadcast_to(v // SEG - 1, (8, tb))
-        wcur = v % SEG
+        out_ref[j] = jnp.broadcast_to(v // seg - 1, (8, tb))
+        wcur = v % seg
     w_scr[:] = jnp.broadcast_to(wcur, (8, tb))
 
 
@@ -291,8 +302,9 @@ def beam_search_pallas(
 
     Returns (decoded [B,T] int32 -1-padded, lengths [B], log_prob [B]).
     """
-    if beam_width > SEG:
-        raise ValueError(f"beam_width must be <= {SEG}")
+    if beam_width > MAX_SEG:
+        raise ValueError(f"beam_width must be <= {MAX_SEG}")
+    seg = seg_for(beam_width)
     bsz, t_max, nclass = logits.shape
     assert nclass == 5
     bp = -(-bsz // batch_tile) * batch_tile
@@ -305,39 +317,39 @@ def beam_search_pallas(
     n_tiles = bp // batch_tile
 
     (pb, pnb, trace) = pl.pallas_call(
-        functools.partial(_beam_wrapper, beam_width),
+        functools.partial(_beam_wrapper, beam_width, seg),
         grid=(n_tiles, t_max),
         in_specs=[
             pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((SEG, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SEG, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seg, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((SEG, bp), jnp.float32),
-            jax.ShapeDtypeStruct((SEG, bp), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, SEG, bp), jnp.int32),
+            jax.ShapeDtypeStruct((seg, bp), jnp.float32),
+            jax.ShapeDtypeStruct((seg, bp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, seg, bp), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         scratch_shapes=[
-            pltpu.VMEM((SEG, batch_tile), jnp.float32),
-            pltpu.VMEM((SEG, batch_tile), jnp.float32),
-            pltpu.VMEM((SEG, batch_tile), jnp.int32),
-            pltpu.VMEM((SEG, batch_tile), jnp.int32),
-            pltpu.VMEM((SEG, batch_tile), jnp.int32),
-            pltpu.VMEM((SEG, batch_tile), jnp.int32),
-            pltpu.VMEM((SEG, batch_tile), jnp.int32),
+            pltpu.VMEM((seg, batch_tile), jnp.float32),
+            pltpu.VMEM((seg, batch_tile), jnp.float32),
+            pltpu.VMEM((seg, batch_tile), jnp.int32),
+            pltpu.VMEM((seg, batch_tile), jnp.int32),
+            pltpu.VMEM((seg, batch_tile), jnp.int32),
+            pltpu.VMEM((seg, batch_tile), jnp.int32),
+            pltpu.VMEM((seg, batch_tile), jnp.int32),
         ],
         interpret=interpret,
     )(lens_b, lp)
 
     final_score = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (SEG, bp), 0) < beam_width,
+        jax.lax.broadcasted_iota(jnp.int32, (seg, bp), 0) < beam_width,
         _logaddexp_xla(pb, pnb),
         _NEG,
     )
@@ -350,17 +362,17 @@ def beam_search_pallas(
     tc = TRACE_CHUNK
     t_pad = -(-t_max // tc) * tc
     if t_pad != t_max:
-        wrow = jax.lax.broadcasted_iota(jnp.int32, (t_pad - t_max, SEG, bp), 1)
-        noop = (0) * SEG + wrow  # (char=-1 +1)*SEG + parent=w  == w
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (t_pad - t_max, seg, bp), 1)
+        noop = (0) * seg + wrow  # (char=-1 +1)*seg + parent=w  == w
         trace = jnp.concatenate([trace, noop], axis=0)
     n_chunks = t_pad // tc
     rev = pl.pallas_call(
-        _traceback_kernel,
+        functools.partial(_traceback_kernel, seg),
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tc, SEG, batch_tile),
+                (tc, seg, batch_tile),
                 lambda b, t: (n_chunks - 1 - t, 0, b),
                 memory_space=pltpu.VMEM,
             ),
@@ -386,9 +398,9 @@ def beam_search_pallas(
     return decoded, lengths, log_prob[:bsz]
 
 
-def _beam_wrapper(w, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
+def _beam_wrapper(w, seg, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
                   pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
-    _beam_kernel(w, lens_ref, lp_ref, trace_ref,
+    _beam_kernel(w, seg, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]

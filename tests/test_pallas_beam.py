@@ -39,6 +39,24 @@ def test_pallas_beam_peaky():
     np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_p))
 
 
+def test_pallas_beam_wide_width_matches_xla():
+    # the reference's published baseline is beam 50 (README.md:146-149);
+    # widths above 32 must stay on the Pallas path (seg rises to 56)
+    rng = np.random.RandomState(7)
+    b, t = 4, 12
+    logits = rng.randn(b, t, 5).astype(np.float32) * 1.5
+    sl = jnp.asarray([t, t, 5, 0])
+    dec_x, len_x, lp_x = beam_search_decode(jnp.asarray(logits), sl,
+                                            beam_width=50)
+    dec_p, len_p, lp_p = beam_search_pallas(
+        jnp.asarray(logits), sl, beam_width=50, batch_tile=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_p))
+    np.testing.assert_array_equal(np.asarray(dec_x), np.asarray(dec_p))
+    np.testing.assert_allclose(np.asarray(lp_x), np.asarray(lp_p),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_beam_batch_tiling():
     rng = np.random.RandomState(4)
     b, t = 10, 8
