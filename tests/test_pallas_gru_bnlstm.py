@@ -144,3 +144,78 @@ def test_fused_bigru_stack_matches_scan_stack(layer_type):
         out = rnn_mod.birnn_stack(params, x, lengths, "GRU", layer_type)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def _rand_bnlstm_cell(rng, c_in, h, seed):
+    params = init_bnlstm_cell(jax.random.PRNGKey(seed), c_in, h)
+    return dict(
+        params,
+        wx=jnp.asarray(rng.randn(c_in, 4 * h) * 0.3, jnp.float32),
+        wh=jnp.asarray(rng.randn(h, 4 * h) * 0.3, jnp.float32),
+        b=jnp.asarray(rng.randn(4 * h) * 0.1, jnp.float32),
+        scale_x=jnp.asarray(0.1 + rng.rand(4 * h) * 0.2, jnp.float32),
+        scale_h=jnp.asarray(0.1 + rng.rand(4 * h) * 0.2, jnp.float32),
+        scale_c=jnp.asarray(0.1 + rng.rand(h) * 0.2, jnp.float32),
+        offset_c=jnp.asarray(rng.randn(h) * 0.1, jnp.float32),
+    )
+
+
+def test_pallas_bibnlstm_fused_matches_two_calls():
+    """Fused bidirectional BNLSTM kernel == two single-direction kernels."""
+    from chiron_tpu.ops.pallas.bnlstm import bibnlstm_layer_pallas
+
+    rng = np.random.RandomState(11)
+    t, b, h, c_in = 12, 8, 100, 6
+    lengths = jnp.asarray([t, t, 9, 5, 3, 1, 0, 7], jnp.int32)
+    x = jnp.asarray(rng.randn(t, b, c_in), jnp.float32)
+    fw = _rand_bnlstm_cell(rng, c_in, h, 3)
+    bw = _rand_bnlstm_cell(rng, c_in, h, 4)
+
+    from chiron_tpu.models.rnn import reverse_sequence
+
+    xb = reverse_sequence(x, lengths)
+    wx_f, *rest_f = pad_bnlstm_weights(fw, h)
+    wx_b, *rest_b = pad_bnlstm_weights(bw, h)
+    ref_f = bnlstm_layer_pallas(x @ wx_f, *rest_f, lengths, hidden=h,
+                                interpret=True)
+    ref_b = bnlstm_layer_pallas(xb @ wx_b, *rest_b, lengths, hidden=h,
+                                interpret=True)
+    out_f, out_b = bibnlstm_layer_pallas(
+        x @ wx_f, xb @ wx_b, tuple(rest_f), tuple(rest_b), lengths,
+        hidden=h, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("layer_type", ["normal", "rna"])
+def test_fused_bibnlstm_stack_matches_scan_stack(layer_type):
+    """birnn_stack fused BNLSTM path == the XLA scan path."""
+    from unittest import mock
+
+    from chiron_tpu.models import rnn as rnn_mod
+    from chiron_tpu.ops.pallas import bnlstm as kbn
+
+    rng = np.random.RandomState(13)
+    b, t, c_in, h = 8, 12, 6, 100
+    params = rnn_mod.init_birnn_stack(
+        jax.random.PRNGKey(5), c_in, h, 2, "BNLSTM", layer_type
+    )
+    x = jnp.asarray(rng.randn(b, t, c_in), jnp.float32)
+    lengths = jnp.asarray([t, t, 9, 5, 3, 2, 2, 7], jnp.int32)
+
+    ref = rnn_mod.birnn_stack(params, x, lengths, "BNLSTM", layer_type)
+
+    fused = kbn.bibnlstm_layer_pallas
+
+    def fused_interp(*args, **kw):
+        kw["interpret"] = True
+        return fused(*args, **kw)
+
+    with mock.patch.object(rnn_mod, "_use_pallas", lambda: True), \
+            mock.patch.object(kbn, "bibnlstm_layer_pallas", fused_interp):
+        out = rnn_mod.birnn_stack(params, x, lengths, "BNLSTM", layer_type)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
