@@ -127,6 +127,105 @@ _ACTIVATIONS = {
 }
 
 
+# --------------------------------------------------------------------------
+# fused conv+BN chains (ops/pallas/convbn.py) — inference-only
+# --------------------------------------------------------------------------
+
+# Trace-time static, set by apply_model for inference traces on TPU. When
+# on, BN'd relu/linear convs return LazyBN values: the raw conv output plus
+# a deferred affine that the NEXT fused conv applies as it reads — one HBM
+# write + one read per tensor instead of XLA's ~4 trips around the
+# batch-stat moment reduction.
+_FUSED = False
+
+
+@contextlib.contextmanager
+def fused_cnn(enabled: bool = True):
+    global _FUSED
+    prev = _FUSED
+    _FUSED = bool(enabled)
+    try:
+        yield
+    finally:
+        _FUSED = prev
+
+
+class LazyBN:
+    """Deferred sum of affine-normalized raw tensors, optionally relu'd.
+
+    value == relu?(sum_i raw_i * a_i + b_i); raws share [B, T, C].
+    """
+
+    def __init__(self, terms, relu: bool):
+        self.terms = list(terms)
+        self.relu = bool(relu)
+
+    @property
+    def shape(self):
+        return self.terms[0][0].shape
+
+
+def materialize(x):
+    """Collapse a LazyBN into a plain array (XLA elementwise fusion)."""
+    if not isinstance(x, LazyBN):
+        return x
+    y = None
+    for raw, a, b in x.terms:
+        t = raw.astype(jnp.float32) * a + b
+        y = t if y is None else y + t
+    if x.relu:
+        y = jax.nn.relu(y)
+    return store_activation(y)
+
+
+def _as_terms(x):
+    """(terms, relu_in) for a fused conv's input."""
+    if isinstance(x, LazyBN):
+        return tuple(x.terms), x.relu
+    c = x.shape[-1]
+    one = jnp.ones((c,), jnp.float32)
+    zero = jnp.zeros((c,), jnp.float32)
+    return ((x, one, zero),), False
+
+
+def _fused_conv_ok(params, stride, dilation, padding, active) -> bool:
+    return (
+        _FUSED
+        and stride == 1
+        and dilation == 1
+        and padding == "SAME"
+        and active in ("relu", None)
+        and "b" not in params
+    )
+
+
+def _fused_conv(params, x, active):
+    """Fused conv+BN path: returns a LazyBN of this conv's raw output."""
+    from chiron_tpu.ops.pallas.convbn import bn_affine, conv_bn_pallas
+
+    if isinstance(x, LazyBN) and len(x.terms) > 2:
+        x = materialize(x)  # the kernel prologue sums at most two terms
+    terms, relu_in = _as_terms(x)
+    w = params["w"]
+    k = w.shape[0]
+    out_dtype = jnp.bfloat16 if _BF16 else jnp.float32
+    y_raw, sums, sqs = conv_bn_pallas(terms, w, k, relu_in,
+                                      out_dtype=out_dtype)
+    c_out = w.shape[-1]
+    if "bn_mean" in params:  # pop-stats BN: affine from stored moments
+        inv = lax.rsqrt(params["bn_var"].astype(jnp.float32) + _BN_EPS)
+        a = inv * params["bn_scale"]
+        b = params["bn_offset"] - params["bn_mean"] * a
+    elif "bn_scale" in params:  # batch-stat BN: affine from streamed moments
+        bsz, t = y_raw.shape[0], y_raw.shape[1]
+        a, b = bn_affine(sums, sqs, float(bsz * t), params["bn_scale"],
+                         params["bn_offset"])
+    else:
+        a = jnp.ones((c_out,), jnp.float32)
+        b = jnp.zeros((c_out,), jnp.float32)
+    return LazyBN([(y_raw, a, b)], relu=(active == "relu"))
+
+
 def conv(
     params: Params,
     x: jnp.ndarray,
@@ -139,7 +238,15 @@ def conv(
 
     Reference behaviour: chiron/cnn.py:15-83 (conv -> optional bias ->
     optional global BN -> optional activation).
+
+    Under fused_cnn (TPU inference), eligible convs (stride/dilation 1,
+    SAME, relu/linear, no bias) return a LazyBN deferred value instead of
+    an array; materialize() collapses it. Callers that need arrays (other
+    activations, pooling, the RNN) materialize on entry.
     """
+    if _fused_conv_ok(params, stride, dilation, padding, active):
+        return _fused_conv(params, x, active)
+    x = materialize(x)
     lhs, rhs = matmul_inputs(x, params["w"])
     y = lax.conv_general_dilated(
         lhs,
@@ -183,12 +290,16 @@ def init_residual(
     }
 
 
-def residual(params: Params, x: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
+def residual(params: Params, x: jnp.ndarray, stride: int = 1):
     identity = conv(params["branch1"], x, stride=stride, active=None)
     y = conv(params["conv2a"], x)
     y = conv(params["conv2b"], y, stride=stride)
     y = conv(params["conv2c"], y, active=None)
-    return jax.nn.relu(identity + y)
+    if isinstance(identity, LazyBN) and isinstance(y, LazyBN):
+        # the block output is never materialised: both branches flow to the
+        # next fused conv's prologue as (raw, affine) terms under one relu
+        return LazyBN(identity.terms + y.terms, relu=True)
+    return jax.nn.relu(materialize(identity) + materialize(y))
 
 
 # --------------------------------------------------------------------------
@@ -219,7 +330,9 @@ def inception(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     b4 = conv(params["conv1d"], conv(params["conv0d"], x))
     b5 = conv(params["conv1e"], conv(params["conv0e"], x), dilation=2)
     b6 = conv(params["conv1f"], conv(params["conv0f"], x), dilation=3)
-    return jnp.concatenate([b1, b2, b3, b4, b5, b6], axis=-1)
+    return jnp.concatenate(
+        [materialize(b) for b in (b1, b2, b3, b4, b5, b6)], axis=-1
+    )
 
 
 # --------------------------------------------------------------------------
@@ -241,7 +354,9 @@ def wavenet(params: Params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
     gate = conv(params["gate"], x, dilation=dilation, active="sigmoid")
     filt = conv(params["filter"], x, dilation=dilation, active="tanh")
     y = conv(params["proj"], gate * filt, active=None)
-    return jax.nn.relu(identity + y)
+    if isinstance(identity, LazyBN) and isinstance(y, LazyBN):
+        return LazyBN(identity.terms + y.terms, relu=True)
+    return jax.nn.relu(materialize(identity) + materialize(y))
 
 
 # --------------------------------------------------------------------------
@@ -261,7 +376,7 @@ def gated_conv(params: Params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray
     gate = conv(params["gate"], x, dilation=dilation, active="sigmoid")
     y = conv(params["conv"], x, dilation=dilation, active="tanh")
     identity = conv(params["identity"], x, active=None)
-    return gate * y + identity
+    return gate * y + materialize(identity)
 
 
 # --------------------------------------------------------------------------
@@ -269,6 +384,7 @@ def gated_conv(params: Params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray
 # --------------------------------------------------------------------------
 
 def avg_pool(x: jnp.ndarray, ksize: int, stride: int, padding: str = "SAME") -> jnp.ndarray:
+    x = materialize(x)
     s = lax.reduce_window(
         x, 0.0, lax.add, (1, ksize, 1), (1, stride, 1), padding
     )
@@ -280,6 +396,7 @@ def avg_pool(x: jnp.ndarray, ksize: int, stride: int, padding: str = "SAME") -> 
 
 
 def max_pool(x: jnp.ndarray, ksize: int, stride: int, padding: str = "SAME") -> jnp.ndarray:
+    x = materialize(x)
     return lax.reduce_window(
         x, -jnp.inf, lax.max, (1, ksize, 1), (1, stride, 1), padding
     )

@@ -391,10 +391,12 @@ def apply_model(
     x = signal[..., None]  # [B, T, 1]
     # bf16 inference mode (config["bf16"]): matmul/conv inputs in bfloat16
     # with f32 accumulation; off during training and by default.
-    from chiron_tpu.models.layers import bf16_compute
+    from chiron_tpu.models.layers import bf16_compute, fused_cnn, materialize
+    from chiron_tpu.models.rnn import _use_pallas
 
-    with bf16_compute(bool(config.get("bf16")) and not training):
-        fea = apply_fn(params["cnn"], x, config["cnn"])
+    with bf16_compute(bool(config.get("bf16")) and not training), \
+            fused_cnn(not training and _use_pallas()):
+        fea = materialize(apply_fn(params["cnn"], x, config["cnn"]))
         rnn_cfg = config["rnn"]
         if rnn_cfg["layer_num"] == 0:
             return cnn_logit(params["cnn_logit"], fea)
