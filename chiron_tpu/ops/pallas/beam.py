@@ -68,16 +68,23 @@ def _lae(a, b):
     return jnp.where(mx <= _NEG / 2, _NEG, mx + jnp.log1p(jnp.exp(mn - mx)))
 
 
-def _beam_kernel(w, seg, lens_ref, lp_ref, trace_ref,
-                 pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
-    # w and seg are STATIC python ints (baked into the program)
-    t = pl.program_id(1)
-    tb = pb_s.shape[1]  # lane width = batch tile
-    cand = seg * NSEG
-    row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
-    live = row < w  # [seg, TB] valid beam slots
+BEAM_CHUNK = 8
 
-    @pl.when(t == 0)
+
+def _beam_kernel(w, seg, chunk, lens_ref, lp_ref, trace_ref,
+                 pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
+    """``chunk`` search steps per grid iteration.
+
+    Chunking the time axis amortises the per-grid-step bookkeeping and
+    lets the beam state live in registers across the unrolled sub-steps
+    instead of bouncing through VMEM scratch every step.
+    """
+    # w, seg and chunk are STATIC python ints (baked into the program)
+    tc = pl.program_id(1)
+    tb = pb_s.shape[1]  # lane width = batch tile
+    row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
+
+    @pl.when(tc == 0)
     def _():
         pb_s[:] = jnp.where(row == 0, 0.0, _NEG)
         pnb_s[:] = jnp.full((seg, tb), _NEG)
@@ -89,15 +96,22 @@ def _beam_kernel(w, seg, lens_ref, lp_ref, trace_ref,
         ph1_s[:] = row * 15485863 + 17
         ph2_s[:] = row * 49979687 + 19
 
-    pb = pb_s[:]
-    pnb = pnb_s[:]
-    h1 = h1_s[:]
-    h2 = h2_s[:]
-    last = last_s[:]
-    ph1 = ph1_s[:]
-    ph2 = ph2_s[:]
+    state = (pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:],
+             ph2_s[:])
+    for j in range(chunk):
+        state = _beam_step(w, seg, tc * chunk + j, j, lens_ref, lp_ref,
+                           trace_ref, state)
+    pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:], ph2_s[:] = state
 
-    lp = lp_ref[0]  # [8, TB] (5 classes padded to 8 sublanes)
+
+def _beam_step(w, seg, t, j, lens_ref, lp_ref, trace_ref, state):
+    pb, pnb, h1, h2, last, ph1, ph2 = state
+    tb = pb.shape[1]
+    cand = seg * NSEG
+    row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
+    live = row < w  # [seg, TB] valid beam slots
+
+    lp = lp_ref[j]  # [8, TB] (5 classes padded to 8 sublanes)
     lp_blank = lp[BLANK:BLANK + 1]  # [1, TB]
     # lp at each beam's last label via 4-way select (no gathers on TPU)
     lp_last = jnp.full((seg, tb), 0.0)
@@ -244,18 +258,20 @@ def _beam_kernel(w, seg, lens_ref, lp_ref, trace_ref,
 
     # ---- freeze past each row's length -----------------------------------
     active = lens_ref[:1, :] > t  # [1, TB]
-    pb_s[:] = jnp.where(active, new_pb, pb)
-    pnb_s[:] = jnp.where(active, new_pnb, pnb)
-    h1_s[:] = jnp.where(active, new_h1, h1)
-    h2_s[:] = jnp.where(active, new_h2, h2)
-    last_s[:] = jnp.where(active, new_last, last)
-    ph1_s[:] = jnp.where(active, new_ph1, ph1)
-    ph2_s[:] = jnp.where(active, new_ph2, ph2)
     out_parent = jnp.where(active, parents, row)
     out_char = jnp.where(active, chars, -1)
     # pack (char, parent) into one int32 word: (char+1)*seg + parent
-    trace_ref[0] = (out_char + 1) * seg + out_parent
+    trace_ref[j] = (out_char + 1) * seg + out_parent
     # NOTE: final beam scores are rematerialised outside from pb/pnb outputs
+    return (
+        jnp.where(active, new_pb, pb),
+        jnp.where(active, new_pnb, pnb),
+        jnp.where(active, new_h1, h1),
+        jnp.where(active, new_h2, h2),
+        jnp.where(active, new_last, last),
+        jnp.where(active, new_ph1, ph1),
+        jnp.where(active, new_ph2, ph2),
+    )
 
 
 TRACE_CHUNK = 16
@@ -308,30 +324,36 @@ def beam_search_pallas(
     bsz, t_max, nclass = logits.shape
     assert nclass == 5
     bp = -(-bsz // batch_tile) * batch_tile
+    # pad time to a multiple of lcm(BEAM_CHUNK, TRACE_CHUNK): padded steps
+    # are inactive for every row (lens <= t_max), so the freeze logic emits
+    # the no-op trace records the chunked traceback needs
+    tmul = max(BEAM_CHUNK, TRACE_CHUNK)
+    t_pad = -(-t_max // tmul) * tmul
     lp = jax.nn.log_softmax(logits, axis=-1)
     lp = jnp.transpose(lp, (1, 2, 0))  # [T, 5, B]
-    lp = jnp.pad(lp, ((0, 0), (0, 3), (0, bp - bsz)), constant_values=_NEG)
+    lp = jnp.pad(lp, ((0, t_pad - t_max), (0, 3), (0, bp - bsz)),
+                 constant_values=_NEG)
     lens = jnp.pad(seq_lengths.astype(jnp.int32), (0, bp - bsz))
     lens_b = jnp.broadcast_to(lens[None, :], (8, bp))
 
     n_tiles = bp // batch_tile
 
     (pb, pnb, trace) = pl.pallas_call(
-        functools.partial(_beam_wrapper, beam_width, seg),
-        grid=(n_tiles, t_max),
+        functools.partial(_beam_wrapper, beam_width, seg, BEAM_CHUNK),
+        grid=(n_tiles, t_pad // BEAM_CHUNK),
         in_specs=[
             pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BEAM_CHUNK, 8, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((seg, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((seg, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seg, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BEAM_CHUNK, seg, batch_tile), lambda b, t: (t, 0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((seg, bp), jnp.float32),
             jax.ShapeDtypeStruct((seg, bp), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, seg, bp), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, seg, bp), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -357,14 +379,9 @@ def beam_search_pallas(
     log_prob = jnp.max(final_score, axis=0)
 
     best_b = jnp.broadcast_to(best[None, :], (8, bp))
-    # pad time to a multiple of TRACE_CHUNK with no-op records
-    # (char -1, parent identity) so chunked traceback stays exact
+    # trace is already padded to a TRACE_CHUNK multiple with no-op records
+    # (char -1, parent identity) emitted by the freeze logic
     tc = TRACE_CHUNK
-    t_pad = -(-t_max // tc) * tc
-    if t_pad != t_max:
-        wrow = jax.lax.broadcasted_iota(jnp.int32, (t_pad - t_max, seg, bp), 1)
-        noop = (0) * seg + wrow  # (char=-1 +1)*seg + parent=w  == w
-        trace = jnp.concatenate([trace, noop], axis=0)
     n_chunks = t_pad // tc
     rev = pl.pallas_call(
         functools.partial(_traceback_kernel, seg),
@@ -398,9 +415,9 @@ def beam_search_pallas(
     return decoded, lengths, log_prob[:bsz]
 
 
-def _beam_wrapper(w, seg, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
+def _beam_wrapper(w, seg, chunk, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
                   pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
-    _beam_kernel(w, seg, lens_ref, lp_ref, trace_ref,
+    _beam_kernel(w, seg, chunk, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]
