@@ -95,6 +95,23 @@ def read_meta(cache_dir: str) -> Optional[Dict[str, Any]]:
         return json.load(f)
 
 
+def data_signature(data_dir: str) -> Dict[str, Any]:
+    """Cheap content signature of a .signal/.label tree (count, bytes,
+    newest mtime) so a cache built from since-regenerated data under the
+    same path is detected as stale."""
+    n = 0
+    total = 0
+    newest = 0.0
+    for root, _, files in os.walk(data_dir):
+        for name in files:
+            if name.endswith((".signal", ".label")):
+                st = os.stat(os.path.join(root, name))
+                n += 1
+                total += st.st_size
+                newest = max(newest, st.st_mtime)
+    return {"n_files": n, "bytes": total, "newest_mtime": round(newest, 3)}
+
+
 def build_cache(
     data_dir: str,
     cache_dir: str,
@@ -119,6 +136,7 @@ def build_cache(
         "skip_start": int(skip_start),
         "sig_norm": sig_norm,
         "max_segments": max_segments,
+        "signature": data_signature(data_dir),
     }
     writer = CacheWriter(cache_dir, seq_length, build_params)
     done = False
@@ -257,6 +275,7 @@ def cached_dataset(
         "skip_start": int(skip_start),
         "sig_norm": sig_norm,
         "max_segments": max_segments,
+        "signature": data_signature(data_dir),
     }
     meta = read_meta(cache_dir)
     if (

@@ -71,13 +71,29 @@ def _listify(node):
     return {k: _listify(v) for k, v in node.items()}
 
 
-def save_checkpoint(model_dir: str, params: Any, step: int, prefix: str = "model") -> str:
+def save_checkpoint(model_dir: str, params: Any, step: int,
+                    prefix: str = "model",
+                    max_to_keep: Optional[int] = 5) -> str:
     os.makedirs(model_dir, exist_ok=True)
     params = jax.device_get(params)
     path = os.path.join(model_dir, f"{prefix}-{step}.npz")
     np.savez(path, **_flatten(params))
     with open(os.path.join(model_dir, "checkpoint"), "w") as f:
         f.write(f"{prefix}-{step}.npz\n")
+    if max_to_keep:
+        # rolling window per prefix (tf.train.Saver max_to_keep parity);
+        # other prefixes (ema/final) are never touched
+        pat = re.compile(re.escape(prefix) + r"-(\d+)\.npz$")
+        steps = sorted(
+            int(m.group(1))
+            for f in os.listdir(model_dir)
+            if (m := pat.match(f))
+        )
+        for old in steps[:-max_to_keep]:
+            try:
+                os.remove(os.path.join(model_dir, f"{prefix}-{old}.npz"))
+            except OSError:
+                pass
     return path
 
 

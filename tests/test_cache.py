@@ -91,3 +91,20 @@ def test_million_windows_bounded_rss(tmp_path):
     # corpus is ~280 MB on disk; serving must stay well under it
     assert grown_kb < 80_000, f"RSS grew {grown_kb} kB while streaming"
     ds.close()
+
+
+def test_cache_rebuilds_when_data_regenerated(tmp_path):
+    # same path, new content: the signature in the build params goes stale
+    from chiron_tpu.io.cache import cached_dataset, read_meta
+
+    data = os.path.join(str(tmp_path), "data")
+    cache = os.path.join(str(tmp_path), "c")
+    make_training_dir(data, n_files=1, n_bases=300, seed=1)
+    ds = cached_dataset(data, cache, 200)
+    n1 = ds.n
+    ds.close()
+    make_training_dir(data, n_files=2, n_bases=300, seed=2)
+    ds = cached_dataset(data, cache, 200)
+    assert ds.n > n1  # rebuilt with the new read included
+    assert read_meta(cache)["build"]["signature"]["n_files"] == 4
+    ds.close()

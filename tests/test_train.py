@@ -160,3 +160,21 @@ def test_training_writes_metrics_jsonl(tmp_path):
     rows = [json.loads(l) for l in open(path)]
     assert len(rows) == 2
     assert {"step", "loss", "learning_rate", "seconds_per_step"} <= set(rows[0])
+
+
+def test_checkpoint_rolling_window(tmp_path):
+    # tf.train.Saver max_to_keep parity: only the newest 5 model-* kept;
+    # ema/final prefixes are never pruned
+    import numpy as np
+
+    from chiron_tpu.train.checkpoint import latest_checkpoint, save_checkpoint
+
+    d = str(tmp_path)
+    params = {"w": np.zeros(3)}
+    save_checkpoint(d, params, 0, prefix="ema")
+    for s in range(1, 9):
+        save_checkpoint(d, params, s)
+    kept = sorted(f for f in os.listdir(d) if f.startswith("model-"))
+    assert kept == [f"model-{s}.npz" for s in range(4, 9)]
+    assert os.path.exists(os.path.join(d, "ema-0.npz"))
+    assert latest_checkpoint(d).endswith("model-8.npz")
