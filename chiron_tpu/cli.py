@@ -204,6 +204,9 @@ def main(arguments=None):
                               help="Increment of initial offset per resample.")
     parser_train.add_argument("--n_devices", type=int, default=0,
                               help="Data-parallel devices (0 = all available).")
+    parser_train.add_argument("--sig_norm", type=int, default=None,
+                              help="Signal normalization: None raw (default), "
+                                   "0 median/mad, 1 mean/std.")
     parser_train.set_defaults(func=train)
 
     args = parser.parse_args(arguments)
