@@ -23,6 +23,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -81,12 +82,19 @@ def make_train_step(config: Dict[str, Any], tx, fl_gamma: float):
         )
 
     @jax.jit
-    def step(params, ema_params, opt_state, batch):
+    def step(params, ema_params, opt_state, batch, n_updates):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # tf.train.ExponentialMovingAverage's num_updates ramp: without it
+        # a warm-started or short run's EMA is dominated by its first steps
+        # (measured: an EMA poisoned this way decoded ZERO bases while the
+        # raw weights sat at 0.38 edit distance)
+        decay = jnp.minimum(
+            MOVING_AVERAGE_DECAY, (1.0 + n_updates) / (10.0 + n_updates)
+        )
         ema_params = jax.tree_util.tree_map(
-            lambda e, p: MOVING_AVERAGE_DECAY * e + (1.0 - MOVING_AVERAGE_DECAY) * p,
+            lambda e, p: decay * e + (1.0 - decay) * p,
             ema_params,
             params,
         )
@@ -320,7 +328,8 @@ def train(hparams) -> Dict[str, Any]:
         batch["seq_len"] = np.round(batch["seq_len"] / ratio).astype(np.int32)
         batch = shard_batch(mesh, batch)
         params, ema_params, opt_state, loss = step_fn(
-            params, ema_params, opt_state, batch
+            params, ema_params, opt_state, batch,
+            np.float32(i - start_step),  # EMA updates since (re)init
         )
         if (i + 1) % save_every == 0 or (i + 1) == hparams.max_steps:
             last_loss = float(loss)

@@ -124,8 +124,8 @@ def test_data_parallel_matches_single_device(tmp_path):
         ema = p
         opt = replicate(mesh, tx.init(jax.device_get(p)))
         b = shard_batch(mesh, batch)
-        for _ in range(3):
-            p, ema, opt, loss = step(p, ema, opt, b)
+        for it in range(3):
+            p, ema, opt, loss = step(p, ema, opt, b, np.float32(it))
         results[ndev] = (jax.device_get(p), float(loss))
     p1, l1 = results[1]
     p8, l8 = results[8]
