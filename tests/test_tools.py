@@ -383,3 +383,28 @@ def test_banded_align_scalar_parity():
         assert banded_global_align(called, ref, band) == scalar(
             called, ref, band
         ), (called, ref, band)
+
+
+def test_make_bundled_models_install(tmp_path, monkeypatch):
+    # stage_install copies the newest ema/final pair + checkpoint pointer
+    import numpy as np
+
+    from chiron_tpu.tools import make_bundled_models as mbm
+    from chiron_tpu.train.checkpoint import save_checkpoint
+
+    work = str(tmp_path / "work")
+    repo = tmp_path / "repo"
+    for name in ("DNA_default", "RNA_default"):
+        (repo / "chiron_tpu" / "model" / name).mkdir(parents=True)
+    src = os.path.join(work, "models", "DNA_retrain")
+    save_checkpoint(src, {"w": np.ones(2)}, 100, prefix="final")
+    save_checkpoint(src, {"w": np.ones(2) * 2}, 100, prefix="ema")
+    (tmp_path / "work" / "dna_pore_model.tsv").write_text("kmer\tm\ts\n")
+    monkeypatch.setattr(mbm, "REPO", str(repo))
+    mbm.stage_install(work)
+    dst = repo / "chiron_tpu" / "model" / "DNA_default"
+    assert sorted(f for f in os.listdir(dst) if f.endswith(".npz")) == [
+        "ema-100.npz", "final-100.npz"
+    ]
+    assert (dst / "checkpoint").read_text().strip() == "ema-100.npz"
+    assert (dst / "pore_model.tsv").exists()
