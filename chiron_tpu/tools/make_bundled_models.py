@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 REFERENCE_DNA = "/root/reference/chiron/example_data/DNA"
 
 # corpus seeds — disjoint from accuracy.py's holdouts (991/992)
-DNA_SEEDS = (100, 101, 102, 103)
+DNA_SEEDS = (100, 101, 102, 103, 104)
 DNA_VALID_SEED = 555
 RNA_SEEDS = (200, 201, 202)
 RNA_VALID_SEED = 556
@@ -45,6 +45,9 @@ DNA_VARIANTS = (
     dict(mean_dwell=9.0, noise=1.0),
     dict(mean_dwell=10.0, noise=1.15),
     dict(mean_dwell=9.0, noise=1.0, drift_walk=0.006, drift_sine_amp=0.2),
+    # autocorrelated (flicker-like) level noise: real pore noise is
+    # low-pass; white-only training over-calls insertions on real signal
+    dict(mean_dwell=9.0, noise=1.0, noise_ar=0.7),
 )
 _RNA_BASE = dict(mean_dwell=43.0, max_dwell=300, drift_sine_period=200_000.0)
 RNA_VARIANTS = (

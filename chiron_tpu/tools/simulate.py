@@ -178,6 +178,7 @@ class SimConfig:
         min_dwell: int = 2,
         max_dwell: int = 60,
         noise: float = 1.0,           # scales the model's per-kmer stdv
+        noise_ar: float = 0.0,        # AR(1) coefficient of the level noise
         drift_walk: float = 0.0035,   # random-walk step as fraction of level sd
         drift_sine_amp: float = 0.12,
         drift_sine_period: float = 60_000.0,
@@ -190,6 +191,7 @@ class SimConfig:
         self.min_dwell = min_dwell
         self.max_dwell = max_dwell
         self.noise = noise
+        self.noise_ar = noise_ar
         self.drift_walk = drift_walk
         self.drift_sine_amp = drift_sine_amp
         self.drift_sine_period = drift_sine_period
@@ -224,7 +226,20 @@ def simulate_read(
 
     level = np.repeat(means, dwell)
     sigma = np.repeat(stdvs, dwell) * cfg.noise
-    signal = level + sigma * rng.randn(total).astype(np.float32)
+    eps = rng.randn(total).astype(np.float32)
+    if cfg.noise_ar > 0:
+        # AR(1) low-pass noise: real pore noise is autocorrelated (flicker),
+        # and a model trained only on white noise reads real noise wobbles
+        # as base transitions (insertion errors). lfilter-free recurrence
+        # via the exact FFT-less scan: e[t] = rho*e[t-1] + sqrt(1-rho^2)*w[t]
+        rho = float(cfg.noise_ar)
+        innov = np.sqrt(1.0 - rho * rho)
+        # truncated MA form of the AR(1): e = innov * sum_k rho^k w[t-k];
+        # the tail past K is < 1e-6 of the variance for rho <= 0.9
+        k_taps = max(1, int(np.ceil(np.log(1e-6) / np.log(max(rho, 1e-9)))))
+        kernel = (innov * rho ** np.arange(k_taps)).astype(np.float32)
+        eps = np.convolve(eps, kernel)[:total].astype(np.float32)
+    signal = level + sigma * eps
     # slow baseline drift: random walk + sine
     if cfg.drift_walk > 0:
         signal += np.cumsum(rng.randn(total).astype(np.float32)) * cfg.drift_walk
