@@ -77,7 +77,7 @@ def measure_real_dna(work: str, beam: int) -> dict:
 
 
 def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
-                   n_bases: int) -> dict:
+                   n_bases: int, cfg=None, axis: str = "") -> dict:
     """Held-out simulated corpus -> basecall -> identity vs truth."""
     from chiron_tpu.tools.assess import assess_dir
     from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
@@ -88,12 +88,14 @@ def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
         KmerModel.synthetic()
     )
     seed = HOLDOUT_SEED_DNA if mode == "dna" else HOLDOUT_SEED_RNA
-    cfg = SimConfig() if mode == "dna" else SimConfig.rna()
-    data = os.path.join(work, f"synth_{mode}_data")
-    truth = os.path.join(work, f"truth_{mode}.fasta")
+    if cfg is None:
+        cfg = SimConfig() if mode == "dna" else SimConfig.rna()
+    axis = axis or f"synth_{mode}"
+    data = os.path.join(work, f"{axis}_data")
+    truth = os.path.join(work, f"truth_{axis}.fasta")
     simulate_corpus(data, n_reads, n_bases, seed=seed, model=pore, cfg=cfg,
                     fasta=truth)
-    out = os.path.join(work, f"synth_{mode}_out")
+    out = os.path.join(work, f"{axis}_out")
     if mode == "dna":
         flags = _flags(data, out, model_dir, mode="dna", beam=beam)
     else:
@@ -138,6 +140,20 @@ def main(argv=None):
                 work, "dna", args.beam, n_reads, 1000 if args.quick else 4000)
             print(f"synthetic_dna identity:  "
                   f"{out['synthetic_dna']['identity']:.4f}")
+        if "synthetic_dna_slow" not in skip:
+            # real-signal translocation regime: the reference's example
+            # reads run at 22-26 samples/base (vs the 9 of synthetic_dna)
+            from chiron_tpu.tools.simulate import SimConfig
+
+            out["synthetic_dna_slow"] = _measure_synth(
+                work, "dna", args.beam, max(2, n_reads // 2),
+                500 if args.quick else 2000,
+                cfg=SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7),
+                axis="synth_dna_slow")
+            out["synthetic_dna_slow"]["sim_config"] = (
+                "mean_dwell=24 max_dwell=140 noise_ar=0.7")
+            print(f"synthetic_dna_slow identity: "
+                  f"{out['synthetic_dna_slow']['identity']:.4f}")
         if "synthetic_rna" not in skip:
             out["synthetic_rna"] = _measure_synth(
                 work, "rna", args.beam, max(2, n_reads // 4),

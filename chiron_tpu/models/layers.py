@@ -191,7 +191,6 @@ def _as_terms(x):
 def _fused_conv_ok(params, stride, dilation, padding, active) -> bool:
     return (
         _FUSED
-        and stride == 1
         and dilation == 1
         and padding == "SAME"
         and active in ("relu", None)
@@ -199,7 +198,7 @@ def _fused_conv_ok(params, stride, dilation, padding, active) -> bool:
     )
 
 
-def _fused_conv(params, x, active):
+def _fused_conv(params, x, active, stride=1):
     """Fused conv+BN path: returns a LazyBN of this conv's raw output."""
     from chiron_tpu.ops.pallas.convbn import bn_affine, conv_bn_pallas
 
@@ -209,7 +208,7 @@ def _fused_conv(params, x, active):
     w = params["w"]
     k = w.shape[0]
     out_dtype = jnp.bfloat16 if _BF16 else jnp.float32
-    y_raw, sums, sqs = conv_bn_pallas(terms, w, k, relu_in,
+    y_raw, sums, sqs = conv_bn_pallas(terms, w, k, relu_in, stride=stride,
                                       out_dtype=out_dtype)
     c_out = w.shape[-1]
     if "bn_mean" in params:  # pop-stats BN: affine from stored moments
@@ -239,13 +238,13 @@ def conv(
     Reference behaviour: chiron/cnn.py:15-83 (conv -> optional bias ->
     optional global BN -> optional activation).
 
-    Under fused_cnn (TPU inference), eligible convs (stride/dilation 1,
-    SAME, relu/linear, no bias) return a LazyBN deferred value instead of
+    Under fused_cnn (TPU inference), eligible convs (dilation 1, SAME,
+    relu/linear, no bias; any stride) return a LazyBN deferred value instead of
     an array; materialize() collapses it. Callers that need arrays (other
     activations, pooling, the RNN) materialize on entry.
     """
     if _fused_conv_ok(params, stride, dilation, padding, active):
-        return _fused_conv(params, x, active)
+        return _fused_conv(params, x, active, stride=stride)
     x = materialize(x)
     lhs, rhs = matmul_inputs(x, params["w"])
     y = lax.conv_general_dilated(

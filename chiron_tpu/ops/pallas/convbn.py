@@ -54,13 +54,17 @@ def _batch_tile(bsz: int, t: int, c: int) -> int:
     return bb
 
 
-def _conv_bn_kernel(k, lpad, n_terms, relu_in, raw_dtype,
-                    *refs):
+def _conv_bn_kernel(k, stride, out_t, lpad, rpad, n_terms, relu_in,
+                    raw_dtype, *refs):
     """One grid step: prologue-normalize BB batch rows, conv, accumulate
     output moments.
 
     refs layout: vec_ref, raw refs (n_terms), w_ref, y_ref, mom_ref,
     acc_scr. vec_ref rows: (a1, b1[, a2, b2]) each [C_in], padded to 8.
+
+    stride > 1 uses a phase-split: the padded input reshapes to
+    [BB, Lp/s, s*C_in] so tap i = q*s + p reads rows [q, q+out_t) at lane
+    range [p*C_in, (p+1)*C_in) — static slices only (no strided loads).
     """
     vec_ref = refs[0]
     raws = refs[1:1 + n_terms]
@@ -88,7 +92,6 @@ def _conv_bn_kernel(k, lpad, n_terms, relu_in, raw_dtype,
     if relu_in:
         z = jnp.maximum(z, 0.0)
     z = z.reshape(bb, t, c_in)
-    rpad = k - 1 - lpad
     if lpad or rpad:
         z = jnp.concatenate(
             [jnp.zeros((bb, lpad, c_in), z.dtype), z,
@@ -96,14 +99,23 @@ def _conv_bn_kernel(k, lpad, n_terms, relu_in, raw_dtype,
             axis=1,
         )
     c_out = w_ref.shape[-1]
-    y = jnp.zeros((bb * t, c_out), jnp.float32)
-    for i in range(k):
-        zi = z[:, i:i + t, :].reshape(bb * t, c_in)
-        y = y + jnp.dot(zi, w_ref[i], preferred_element_type=jnp.float32)
+    y = jnp.zeros((bb * out_t, c_out), jnp.float32)
+    if stride == 1:
+        for i in range(k):
+            zi = z[:, i:i + out_t, :].reshape(bb * out_t, c_in)
+            y = y + jnp.dot(zi, w_ref[i], preferred_element_type=jnp.float32)
+    else:
+        lp_rows = z.shape[1]
+        zr = z.reshape(bb, lp_rows // stride, stride * c_in)
+        for i in range(k):
+            q, p = divmod(i, stride)
+            zi = zr[:, q:q + out_t, p * c_in:(p + 1) * c_in]
+            y = y + jnp.dot(zi.reshape(bb * out_t, c_in), w_ref[i],
+                            preferred_element_type=jnp.float32)
 
     acc[0:1, :] += jnp.sum(y, axis=0, keepdims=True)
     acc[1:2, :] += jnp.sum(y * y, axis=0, keepdims=True)
-    y_ref[:] = y.reshape(bb, t, c_out).astype(y_ref.dtype)
+    y_ref[:] = y.reshape(bb, out_t, c_out).astype(y_ref.dtype)
 
     @pl.when(bgrid == nb - 1)
     def _():
@@ -111,13 +123,15 @@ def _conv_bn_kernel(k, lpad, n_terms, relu_in, raw_dtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "relu_in", "out_dtype", "interpret")
+    jax.jit, static_argnames=("k", "relu_in", "stride", "out_dtype",
+                              "interpret")
 )
 def conv_bn_pallas(
     terms,
     w: jnp.ndarray,
     k: int,
     relu_in: bool,
+    stride: int = 1,
     out_dtype=jnp.float32,
     interpret: bool = False,
 ):
@@ -126,12 +140,13 @@ def conv_bn_pallas(
     Args:
       terms: tuple of (raw [B, T, C_in], a [C_in], b [C_in]) — the input is
         relu?(sum_i raw_i * a_i + b_i) (relu controlled by ``relu_in``).
-      w: [k, C_in, C_out] conv kernel; SAME padding, stride 1, dilation 1.
+      w: [k, C_in, C_out] conv kernel; SAME padding, dilation 1.
       k: static kernel width (must equal w.shape[0]).
       relu_in: apply relu after the input affine sum.
+      stride: window stride (SAME semantics: out_t = ceil(t / stride)).
     Returns:
-      (y_raw [B, T, C_out] in out_dtype, sums [C_out] f32, sqs [C_out] f32)
-      where sums/sqs are the per-channel moments of y over (B, T).
+      (y_raw [B, T', C_out] in out_dtype, sums [C_out] f32, sqs [C_out] f32)
+      where sums/sqs are the per-channel moments of y over (B, T').
     """
     n_terms = len(terms)
     assert n_terms in (1, 2)
@@ -139,7 +154,18 @@ def conv_bn_pallas(
     bsz, t, c_in = raw0.shape
     assert w.shape == (k, c_in, w.shape[-1])
     c_out = w.shape[-1]
-    lpad = (k - 1) // 2
+    s = int(stride)
+    out_t = -(-t // s)
+    if s == 1:
+        lpad = (k - 1) // 2
+        rpad = k - 1 - lpad
+    else:
+        # XLA SAME for strided windows, then right-pad so the phase-split
+        # reshape ([Lp/s, s*C_in]) covers every tap's [q, q+out_t) rows
+        pad_total = max((out_t - 1) * s + k - t, 0)
+        lpad = pad_total // 2
+        lp_rows = (out_t + (k - 1) // s + 1) * s
+        rpad = lp_rows - lpad - t
 
     # pack affine vectors into one [8, C_in] block
     rows = []
@@ -151,7 +177,8 @@ def conv_bn_pallas(
 
     bb = _batch_tile(bsz, t, max(c_in, c_out))
     kernel = functools.partial(
-        _conv_bn_kernel, k, lpad, n_terms, relu_in, raw0.dtype
+        _conv_bn_kernel, k, s, out_t, lpad, rpad, n_terms, relu_in,
+        raw0.dtype
     )
     raw_specs = [
         pl.BlockSpec((bb, t, c_in), lambda i: (i, 0, 0),
@@ -169,13 +196,13 @@ def conv_bn_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bb, t, c_out), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, out_t, c_out), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, c_out), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, t, c_out), out_dtype),
+            jax.ShapeDtypeStruct((bsz, out_t, c_out), out_dtype),
             jax.ShapeDtypeStruct((8, c_out), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((8, c_out), jnp.float32)],

@@ -35,7 +35,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 REFERENCE_DNA = "/root/reference/chiron/example_data/DNA"
 
 # corpus seeds — disjoint from accuracy.py's holdouts (991/992)
-DNA_SEEDS = (100, 101, 102, 103, 104)
+DNA_SEEDS = (100, 101, 102, 103, 104, 105, 106, 107)
 DNA_VALID_SEED = 555
 RNA_SEEDS = (200, 201, 202)
 RNA_VALID_SEED = 556
@@ -48,6 +48,15 @@ DNA_VARIANTS = (
     # autocorrelated (flicker-like) level noise: real pore noise is
     # low-pass; white-only training over-calls insertions on real signal
     dict(mean_dwell=9.0, noise=1.0, noise_ar=0.7),
+    # slow-translocation variants: the reference's real example reads run
+    # at 22-26 samples/base (signal_len / golden_fastq_len, all 5 reads);
+    # a model trained only at 8-10 samples/base reads every real dwell as
+    # ~2.5 bases -> the measured 0.9/base insertion storm on real_dna.
+    # Slow reads are ~2.6x longer, so these variants also dominate the
+    # window mix, matching the real-signal target domain.
+    dict(mean_dwell=20.0, max_dwell=120, noise=1.0, noise_ar=0.7, n_reads=300),
+    dict(mean_dwell=24.0, max_dwell=140, noise=1.0, noise_ar=0.7, n_reads=300),
+    dict(mean_dwell=28.0, max_dwell=160, noise=1.1, n_reads=300),
 )
 _RNA_BASE = dict(mean_dwell=43.0, max_dwell=300, drift_sine_period=200_000.0)
 RNA_VARIANTS = (
@@ -90,7 +99,9 @@ def stage_data(work: str, dna_reads: int = 450, rna_reads: int = 120) -> None:
 
     dna = KmerModel.load(pore_path)
     for i, (kw, seed) in enumerate(zip(DNA_VARIANTS, DNA_SEEDS)):
-        simulate_corpus(os.path.join(work, "train_dna", f"v{i}"), dna_reads,
+        kw = dict(kw)
+        n = kw.pop("n_reads", dna_reads)
+        simulate_corpus(os.path.join(work, "train_dna", f"v{i}"), n,
                         4000, seed=seed, model=dna, cfg=SimConfig(**kw))
     simulate_corpus(os.path.join(work, "valid_dna"), 40, 4000,
                     seed=DNA_VALID_SEED, model=dna, cfg=SimConfig())
@@ -105,7 +116,8 @@ def stage_data(work: str, dna_reads: int = 450, rna_reads: int = 120) -> None:
     print(f"corpora -> {work}/train_dna train_rna valid_dna valid_rna")
 
 
-def _train(work: str, mode: str, max_steps: int) -> None:
+def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
+           step_rate: float = 4e-3) -> None:
     from chiron_tpu.train.loop import train
 
     if mode == "dna":
@@ -115,8 +127,8 @@ def _train(work: str, mode: str, max_steps: int) -> None:
             validation=os.path.join(work, "valid_dna"),
             train_cache=os.path.join(work, "cache_dna"),
             valid_cache=os.path.join(work, "cache_valid_dna"),
-            sequence_len=400, batch_size=400, step_rate=4e-3,
-            max_steps=max_steps, sig_norm=1,
+            sequence_len=400, batch_size=400, step_rate=step_rate,
+            max_steps=max_steps, sig_norm=1, retrain=retrain,
         )
     else:
         h = types.SimpleNamespace(
@@ -125,12 +137,34 @@ def _train(work: str, mode: str, max_steps: int) -> None:
             validation=os.path.join(work, "valid_rna"),
             train_cache=os.path.join(work, "cache_rna"),
             valid_cache=os.path.join(work, "cache_valid_rna"),
-            sequence_len=2000, batch_size=100, step_rate=4e-3,
-            max_steps=max_steps, sig_norm=1,
+            sequence_len=2000, batch_size=100, step_rate=step_rate,
+            max_steps=max_steps, sig_norm=1, retrain=retrain,
             configure=os.path.join(REPO, "chiron_tpu", "model", "RNA_default",
                                    "model.json"),
         )
     train(h)
+
+
+def stage_finetune(work: str, mode: str, max_steps: int,
+                   step_rate: float = 2e-3) -> None:
+    """Warm-start from the bundled model and continue on the current corpora.
+
+    Seeds work/models/{MODE}_retrain with the bundled EMA weights as
+    model-0.npz (start_step 0, so the EMA num_updates ramp and the LR
+    piecewise schedule both restart), then trains with --retrain semantics.
+    """
+    name = "DNA_default" if mode == "dna" else "RNA_default"
+    src = os.path.join(REPO, "chiron_tpu", "model", name)
+    dst = os.path.join(work, "models", f"{mode.upper()}_retrain")
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(src, "checkpoint")) as f:
+        ckpt = f.read().strip()
+    shutil.copy2(os.path.join(src, ckpt), os.path.join(dst, "model-0.npz"))
+    shutil.copy2(os.path.join(src, "model.json"), os.path.join(dst, "model.json"))
+    with open(os.path.join(dst, "checkpoint"), "w") as f:
+        f.write("model-0.npz\n")
+    print(f"warm start {dst} <- {src}/{ckpt}")
+    _train(work, mode, max_steps, retrain=True, step_rate=step_rate)
 
 
 def stage_install(work: str) -> None:
@@ -166,15 +200,20 @@ def stage_install(work: str) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--stage", required=True,
-                   choices=["data", "train", "install"])
+                   choices=["data", "train", "finetune", "install"])
     p.add_argument("--mode", default="dna", choices=["dna", "rna"])
     p.add_argument("--work", default="/tmp/bundled_models")
     p.add_argument("--max_steps", type=int, default=16000)
+    p.add_argument("--step_rate", type=float, default=None)
     args = p.parse_args(argv)
     if args.stage == "data":
         stage_data(args.work)
     elif args.stage == "train":
-        _train(args.work, args.mode, args.max_steps)
+        _train(args.work, args.mode, args.max_steps,
+               step_rate=args.step_rate or 4e-3)
+    elif args.stage == "finetune":
+        stage_finetune(args.work, args.mode, args.max_steps,
+                       step_rate=args.step_rate or 2e-3)
     else:
         stage_install(args.work)
     return 0

@@ -10,7 +10,7 @@ import pytest
 from chiron_tpu.ops.pallas import convbn
 
 
-def _xla_twin(terms, w, relu_in):
+def _xla_twin(terms, w, relu_in, stride=1):
     x = None
     for raw, a, b in terms:
         t = raw.astype(jnp.float32) * a + b
@@ -18,7 +18,7 @@ def _xla_twin(terms, w, relu_in):
     if relu_in:
         x = jax.nn.relu(x)
     y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding="SAME",
+        x, w, window_strides=(stride,), padding="SAME",
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,
     )
@@ -53,6 +53,39 @@ def test_conv_bn_pallas_matches_xla(k, n_terms, relu_in, bsz):
     )
 
 
+@pytest.mark.parametrize("k,stride,t,c_in,n_terms,relu_in", [
+    (9, 5, 50, 1, 1, False),    # rna_model2 front (t % s == 0)
+    (14, 7, 51, 1, 1, False),   # rna_model3 front (t % s != 0)
+    (3, 2, 23, 16, 2, True),    # strided mid-net conv, two deferred terms
+    (5, 3, 24, 8, 1, True),
+])
+def test_conv_bn_pallas_strided_matches_xla(k, stride, t, c_in, n_terms,
+                                            relu_in):
+    rng = np.random.RandomState(k * 100 + stride)
+    bsz, c_out = 4, 8
+    terms = tuple(
+        (jnp.asarray(rng.randn(bsz, t, c_in), jnp.float32),
+         jnp.asarray(0.5 + rng.rand(c_in), jnp.float32),
+         jnp.asarray(rng.randn(c_in) * 0.2, jnp.float32))
+        for _ in range(n_terms)
+    )
+    w = jnp.asarray(rng.randn(k, c_in, c_out) * 0.3, jnp.float32)
+    y, sums, sqs = convbn.conv_bn_pallas(terms, w, k, relu_in,
+                                         stride=stride, interpret=True)
+    ref = _xla_twin(terms, w, relu_in, stride=stride)
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sums), np.asarray(jnp.sum(ref, axis=(0, 1))),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sqs), np.asarray(jnp.sum(ref * ref, axis=(0, 1))),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_bn_affine_matches_global_bn():
     from chiron_tpu.models.layers import global_bn
 
@@ -68,7 +101,8 @@ def test_bn_affine_matches_global_bn():
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("cnn_model", ["dna_model1", "incp_v2"])
+@pytest.mark.parametrize("cnn_model",
+                         ["dna_model1", "incp_v2", "rna_model2", "rna_model3"])
 def test_fused_cnn_model_matches_default(cnn_model):
     """apply_model under fused_cnn == the plain XLA trace."""
     from chiron_tpu import config as C
@@ -109,8 +143,8 @@ def test_fused_cnn_model_matches_default(cnn_model):
     del ref
 
 
-def test_fused_residual_stride_falls_back():
-    """Strided residuals must transparently take the XLA path."""
+def test_fused_residual_strided_parity():
+    """Strided residuals run through the fused kernel's phase-split path."""
     from chiron_tpu.models import layers as L
 
     rng = np.random.RandomState(9)
