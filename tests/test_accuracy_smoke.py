@@ -1,0 +1,47 @@
+"""CI-scale accuracy smoke: an accuracy regression cannot land silently.
+
+A tiny held-out simulated corpus (the accuracy.py holdout seed) is
+basecalled with the bundled DNA model on CPU and the identity against the
+true sequences must clear a floor well below the tracked ACCURACY.json
+number (synthetic_dna ~0.7+) but far above chance — catching "the model
+was swapped/poisoned" class regressions in the test suite itself
+(VERDICT r2 next-round item #3).
+"""
+
+import os
+import types
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MODEL_DNA = os.path.join(REPO, "chiron_tpu", "model", "DNA_default")
+
+IDENTITY_FLOOR = 0.45
+
+
+@pytest.mark.skipif(not os.path.isdir(MODEL_DNA), reason="bundled model absent")
+def test_bundled_dna_accuracy_floor(tmp_path):
+    from chiron_tpu.eval.pipeline import evaluation
+    from chiron_tpu.tools.assess import assess_dir
+    from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
+
+    pore = KmerModel.load(os.path.join(MODEL_DNA, "pore_model.tsv"))
+    data = os.path.join(str(tmp_path), "data")
+    truth = os.path.join(str(tmp_path), "truth.fasta")
+    # seed 991 is accuracy.py's reserved DNA holdout — never trained on
+    simulate_corpus(data, 3, 1000, seed=991, model=pore, cfg=SimConfig(),
+                    fasta=truth)
+    out = os.path.join(str(tmp_path), "out")
+    flags = types.SimpleNamespace(
+        input=data, output=out, model=MODEL_DNA,
+        start=0, batch_size=32, segment_len=400, jump=390, threads=0,
+        beam=0, extension="fasta", concise=False, mode="dna",
+        reverse_fast5=False, recursive=False, sig_norm=1,
+    )
+    evaluation(flags)
+    report = assess_dir(os.path.join(out, "result"), truth)
+    identity = report["summary"]["identity"]
+    assert identity >= IDENTITY_FLOOR, (
+        f"bundled-model identity {identity:.3f} fell below the "
+        f"{IDENTITY_FLOOR} smoke floor — accuracy regression"
+    )
