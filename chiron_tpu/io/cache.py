@@ -120,6 +120,7 @@ def build_cache(
     skip_start: int = 10,
     sig_norm=None,
     max_segments=None,
+    file_shard=None,
 ) -> Dict[str, Any]:
     """Stream .signal/.label pairs under data_dir into a window cache.
 
@@ -130,6 +131,8 @@ def build_cache(
     from chiron_tpu.io.labels import read_label, read_raw
     from chiron_tpu.io.signal import read_signal
 
+    from chiron_tpu.io.labels import _in_shard
+
     build_params = {
         "data_dir": os.path.abspath(data_dir),
         "k_mer": int(k_mer),
@@ -137,6 +140,7 @@ def build_cache(
         "sig_norm": sig_norm,
         "max_segments": max_segments,
         "signature": data_signature(data_dir),
+        **({"file_shard": list(file_shard)} if file_shard else {}),
     }
     writer = CacheWriter(cache_dir, seq_length, build_params)
     done = False
@@ -145,6 +149,10 @@ def build_cache(
             break
         for name in sorted(files):
             if not name.endswith(".signal"):
+                continue
+            if file_shard is not None and not _in_shard(
+                os.path.relpath(os.path.join(root, name), data_dir), file_shard
+            ):
                 continue
             file_pre = os.path.splitext(name)[0]
             f_signal = read_signal(os.path.join(root, name), normalize=sig_norm)
@@ -261,13 +269,15 @@ def cached_dataset(
     sig_norm=None,
     max_segments=None,
     seed: int = 0,
+    file_shard=None,
 ) -> CachedDataset:
     """Open (building or rebuilding as needed) a window cache for data_dir.
 
     A cache is reused only when its recorded build parameters match; any
-    mismatch (different source dir, window length, k-mer, offset, norm)
-    triggers a rebuild — this is what makes the trainer's epoch resampling
-    with shifted offsets (chiron_rcnn_train.py:100-103) work out-of-core.
+    mismatch (different source dir, window length, k-mer, offset, norm,
+    process shard) triggers a rebuild — this is what makes the trainer's
+    epoch resampling with shifted offsets (chiron_rcnn_train.py:100-103)
+    work out-of-core.
     """
     want = {
         "data_dir": os.path.abspath(data_dir),
@@ -276,6 +286,7 @@ def cached_dataset(
         "sig_norm": sig_norm,
         "max_segments": max_segments,
         "signature": data_signature(data_dir),
+        **({"file_shard": list(file_shard)} if file_shard else {}),
     }
     meta = read_meta(cache_dir)
     if (
@@ -285,5 +296,5 @@ def cached_dataset(
     ):
         build_cache(data_dir, cache_dir, seq_length, k_mer=k_mer,
                     skip_start=skip_start, sig_norm=sig_norm,
-                    max_segments=max_segments)
+                    max_segments=max_segments, file_shard=file_shard)
     return CachedDataset(cache_dir, seed=seed)

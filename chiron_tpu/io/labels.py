@@ -38,6 +38,21 @@ def base2ind(base: str, alphabet_n: int = 4) -> int:
 
 MAX_RAW_SAMPLES = 99_999_999
 
+
+def _in_shard(rel_path: str, file_shard) -> bool:
+    """Stable disjoint file sharding for multi-process training input.
+
+    ``file_shard`` is (shard_index, num_shards); the hash matches
+    parallel.dist.shard_files so every process loads a disjoint subset of
+    the corpus (instead of the reference's every-worker-reads-everything
+    queue feed, chiron_queue_input.py:75-106).
+    """
+    import hashlib
+
+    index, count = file_shard
+    h = int.from_bytes(hashlib.md5(rel_path.encode()).digest()[:4], "big")
+    return h % count == index
+
 _LABEL_DTYPE = np.dtype([("start", "<u4"), ("length", "<u4"), ("base", "S1")])
 
 
@@ -295,6 +310,7 @@ def read_raw_data_sets(
     max_segments_num=None,
     skip_start: int = 10,
     sig_norm=None,
+    file_shard=None,
 ):
     """Walk a directory of .signal/.label pairs into dense training arrays.
 
@@ -309,6 +325,10 @@ def read_raw_data_sets(
     for root, _, files in os.walk(data_dir, topdown=False):
         for name in sorted(files):
             if not name.endswith(".signal"):
+                continue
+            if file_shard is not None and not _in_shard(
+                os.path.relpath(os.path.join(root, name), data_dir), file_shard
+            ):
                 continue
             file_pre = os.path.splitext(name)[0]
             f_signal = read_signal(os.path.join(root, name), normalize=sig_norm)

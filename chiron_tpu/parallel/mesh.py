@@ -40,9 +40,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """device_put every array in a batch pytree with batch-axis sharding."""
+    """Assemble a batch pytree as batch-axis-sharded global arrays.
+
+    Single-process: ``batch`` is the global batch and is device_put with
+    batch-axis sharding. Multi-process (``jax.distributed``): ``batch`` is
+    this process's LOCAL shard — global_batch/process_count rows — and the
+    global array is assembled from per-process local data with no
+    cross-host transfer (every process feeds only its own rows; this is
+    what lets each host load only its file shard, unlike the reference's
+    full-batch-everywhere queue feed, chiron_multi_gpu_train.py:115-119).
+    """
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def local_rows(global_array) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in batch order.
+
+    The inverse of ``shard_batch`` for reading results back: under
+    multi-process meshes only the local shards are addressable, so host
+    code (validation metrics, logging) must consume exactly the rows this
+    process contributed.
+    """
+    shards = sorted(
+        global_array.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def replicate(mesh: Mesh, tree):

@@ -116,17 +116,87 @@ def stage_data(work: str, dna_reads: int = 450, rna_reads: int = 120) -> None:
     print(f"corpora -> {work}/train_dna train_rna valid_dna valid_rna")
 
 
+REAL_SEED_SLOW = 300
+REAL_SEED_FAST = 301
+REAL_VALID_SEED = 557
+
+
+def stage_realdata(work: str, repeats: int = 8) -> None:
+    """Bootstrap-label the reference's real DNA reads and build a mixed
+    fine-tuning corpus (the round-3 real-signal adaptation stage).
+
+    This is the reference's own label-generation pipeline
+    (chiron/chiron_label.py:255-277 resquiggle -> chiron export) applied to
+    its example reads, with the committed golden basecalls
+    (example_data/DNA/output/result) standing in for an aligned reference
+    sequence: raw signal is DTW-resquiggled against the golden sequence
+    using the bundled EM pore model, and the per-base segmentation is
+    written as .signal/.label training pairs. The real windows are
+    oversampled ``repeats`` x and mixed with freshly-seeded synthetic
+    corpora at the real (slow, AR-noise) and fast translocation regimes so
+    fine-tuning adapts to real signal without forgetting the synthetic
+    domain (tests/test_accuracy_smoke.py floors that axis).
+    """
+    import numpy as np
+
+    from chiron_tpu.tools.assess import _read_fastx
+    from chiron_tpu.tools.resquiggle import PoreModel, resquiggle_signal
+    from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
+
+    pore_path = os.path.join(
+        REPO, "chiron_tpu", "model", "DNA_default", "pore_model.tsv")
+    pm = PoreModel.load(pore_path)
+    golden = os.path.join(REFERENCE_DNA, "output", "result")
+    raw = os.path.join(REFERENCE_DNA, "output", "raw")
+    seqs = {}
+    for fn in sorted(os.listdir(golden)):
+        seqs.update(_read_fastx(os.path.join(golden, fn)))
+    real_dir = os.path.join(work, "train_realmix", "real")
+    os.makedirs(real_dir, exist_ok=True)
+    for name in sorted(seqs):
+        sig = np.loadtxt(os.path.join(raw, name + ".signal"),
+                         dtype=np.float32).ravel()
+        seq = seqs[name]
+        starts = resquiggle_signal(sig, seq, pore_model=pm, radius=50)
+        sig_text = "\n".join(str(int(v)) for v in sig)
+        rows = "\n".join(
+            f"{int(starts[k])} {int(starts[k + 1])} {b}"
+            for k, b in enumerate(seq)
+        )
+        for r in range(repeats):
+            prefix = os.path.join(real_dir, f"{name}_rep{r}")
+            with open(prefix + ".signal", "w") as f:
+                f.write(sig_text + "\n")
+            with open(prefix + ".label", "w") as f:
+                f.write(rows + "\n")
+        print(f"{name}: {len(sig)} samples, {len(seq)} bases, "
+              f"dwell {len(sig) / len(seq):.1f}, x{repeats}")
+
+    dna = KmerModel.load(pore_path)
+    slow = SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7)
+    simulate_corpus(os.path.join(work, "train_realmix", "slow"), 100, 4000,
+                    seed=REAL_SEED_SLOW, model=dna, cfg=slow)
+    simulate_corpus(os.path.join(work, "train_realmix", "fast"), 100, 4000,
+                    seed=REAL_SEED_FAST, model=dna, cfg=SimConfig())
+    simulate_corpus(os.path.join(work, "valid_realmix"), 12, 4000,
+                    seed=REAL_VALID_SEED, model=dna, cfg=slow)
+    print(f"realmix corpus -> {work}/train_realmix (+ valid_realmix)")
+
+
 def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
-           step_rate: float = 4e-3) -> None:
+           step_rate: float = 4e-3, train_sub: str = None,
+           valid_sub: str = None) -> None:
     from chiron_tpu.train.loop import train
 
     if mode == "dna":
+        tsub = train_sub or "train_dna"
+        vsub = valid_sub or "valid_dna"
         h = types.SimpleNamespace(
-            data_dir=os.path.join(work, "train_dna"),
+            data_dir=os.path.join(work, tsub),
             log_dir=os.path.join(work, "models"), model_name="DNA_retrain",
-            validation=os.path.join(work, "valid_dna"),
-            train_cache=os.path.join(work, "cache_dna"),
-            valid_cache=os.path.join(work, "cache_valid_dna"),
+            validation=os.path.join(work, vsub),
+            train_cache=os.path.join(work, f"cache_{tsub}"),
+            valid_cache=os.path.join(work, f"cache_{vsub}"),
             sequence_len=400, batch_size=400, step_rate=step_rate,
             max_steps=max_steps, sig_norm=1, retrain=retrain,
         )
@@ -146,7 +216,8 @@ def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
 
 
 def stage_finetune(work: str, mode: str, max_steps: int,
-                   step_rate: float = 2e-3) -> None:
+                   step_rate: float = 2e-3, train_sub: str = None,
+                   valid_sub: str = None) -> None:
     """Warm-start from the bundled model and continue on the current corpora.
 
     Seeds work/models/{MODE}_retrain with the bundled EMA weights as
@@ -164,7 +235,8 @@ def stage_finetune(work: str, mode: str, max_steps: int,
     with open(os.path.join(dst, "checkpoint"), "w") as f:
         f.write("model-0.npz\n")
     print(f"warm start {dst} <- {src}/{ckpt}")
-    _train(work, mode, max_steps, retrain=True, step_rate=step_rate)
+    _train(work, mode, max_steps, retrain=True, step_rate=step_rate,
+           train_sub=train_sub, valid_sub=valid_sub)
 
 
 def stage_install(work: str) -> None:
@@ -200,20 +272,28 @@ def stage_install(work: str) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--stage", required=True,
-                   choices=["data", "train", "finetune", "install"])
+                   choices=["data", "realdata", "train", "finetune", "install"])
     p.add_argument("--mode", default="dna", choices=["dna", "rna"])
     p.add_argument("--work", default="/tmp/bundled_models")
     p.add_argument("--max_steps", type=int, default=16000)
     p.add_argument("--step_rate", type=float, default=None)
+    p.add_argument("--train_sub", default=None,
+                   help="train corpus subdir under --work (e.g. train_realmix)")
+    p.add_argument("--valid_sub", default=None,
+                   help="validation corpus subdir under --work")
     args = p.parse_args(argv)
     if args.stage == "data":
         stage_data(args.work)
+    elif args.stage == "realdata":
+        stage_realdata(args.work)
     elif args.stage == "train":
         _train(args.work, args.mode, args.max_steps,
-               step_rate=args.step_rate or 4e-3)
+               step_rate=args.step_rate or 4e-3,
+               train_sub=args.train_sub, valid_sub=args.valid_sub)
     elif args.stage == "finetune":
         stage_finetune(args.work, args.mode, args.max_steps,
-                       step_rate=args.step_rate or 2e-3)
+                       step_rate=args.step_rate or 2e-3,
+                       train_sub=args.train_sub, valid_sub=args.valid_sub)
     else:
         stage_install(args.work)
     return 0

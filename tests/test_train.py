@@ -145,6 +145,25 @@ def test_edit_distance():
     assert edit_distance([0, 1], [1, 0]) == 2
 
 
+def test_batched_edit_distance_matches_scalar():
+    from chiron_tpu.train.loop import batched_edit_distance, edit_distance
+
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        b = rng.randint(1, 8)
+        max_h, max_r = rng.randint(0, 24), rng.randint(0, 20)
+        hyps = rng.randint(0, 4, (b, max(max_h, 1)))
+        refs = rng.randint(0, 4, (b, max(max_r, 1)))
+        hl = rng.randint(0, max_h + 1, b)
+        rl = rng.randint(0, max_r + 1, b)
+        got = batched_edit_distance(hyps, hl, refs, rl)
+        want = [
+            edit_distance(list(hyps[i][: hl[i]]), list(refs[i][: rl[i]]))
+            for i in range(b)
+        ]
+        assert got.tolist() == want
+
+
 def test_training_writes_metrics_jsonl(tmp_path):
     import json
 
