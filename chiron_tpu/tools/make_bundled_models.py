@@ -121,7 +121,34 @@ REAL_SEED_FAST = 301
 REAL_VALID_SEED = 557
 
 
-def stage_realdata(work: str, repeats: int = 8) -> None:
+def _read_logits(params, cfg, signal, batch: int = 400):
+    """Whole-read log-softmax logits from non-overlapping 400-sample
+    windows (per-read sig_norm=1 normalization, pure-real batches — the
+    batch-stat BN regime the labels will be trained under)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chiron_tpu.io.signal import normalize_signal
+    from chiron_tpu.models import apply_model
+
+    x = normalize_signal(np.asarray(signal, np.float32), 1)
+    n = len(x)
+    t = 400
+    pad = (-n) % t
+    xw = np.pad(x, (0, pad)).reshape(-1, t)
+    sl = np.full(len(xw), t, np.int32)
+    outs = []
+    for i in range(0, len(xw), batch):
+        lg = apply_model(params, cfg, jnp.asarray(xw[i:i + batch]),
+                         jnp.asarray(sl[i:i + batch]))
+        outs.append(np.asarray(lg, np.float32))
+    lp = np.concatenate(outs).reshape(-1, outs[0].shape[-1])[:n]
+    m = lp.max(1, keepdims=True)
+    return lp - (m + np.log(np.exp(lp - m).sum(1, keepdims=True)))
+
+
+def stage_realdata(work: str, repeats: int = 8,
+                   align_model: str = None) -> None:
     """Bootstrap-label the reference's real DNA reads and build a mixed
     fine-tuning corpus (the round-3 real-signal adaptation stage).
 
@@ -136,12 +163,26 @@ def stage_realdata(work: str, repeats: int = 8) -> None:
     corpora at the real (slow, AR-noise) and fast translocation regimes so
     fine-tuning adapts to real signal without forgetting the synthetic
     domain (tests/test_accuracy_smoke.py floors that axis).
+
+    ``align_model``: checkpoint dir of a real-signal-adapted model; when
+    given, the coarse DTW segmentation is refined by CTC forced alignment
+    of the golden sequence through that model's own logits
+    (ops/ctc_align.py) — the bootstrap round that lifts label quality past
+    what the pore-model DTW alone can do.
     """
     import numpy as np
 
     from chiron_tpu.tools.assess import _read_fastx
     from chiron_tpu.tools.resquiggle import PoreModel, resquiggle_signal
     from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
+
+    align_params, align_cfg = None, None
+    if align_model:
+        from chiron_tpu import config as C
+        from chiron_tpu.eval.pipeline import load_params
+
+        align_cfg = C.read_config(os.path.join(align_model, "model.json"))
+        align_params = load_params(align_model, align_cfg)
 
     pore_path = os.path.join(
         REPO, "chiron_tpu", "model", "DNA_default", "pore_model.tsv")
@@ -158,6 +199,13 @@ def stage_realdata(work: str, repeats: int = 8) -> None:
                          dtype=np.float32).ravel()
         seq = seqs[name]
         starts = resquiggle_signal(sig, seq, pore_model=pm, radius=50)
+        if align_params is not None:
+            from chiron_tpu.io.labels import base2ind
+            from chiron_tpu.ops.ctc_align import chunked_forced_align
+
+            lp = _read_logits(align_params, align_cfg, sig)
+            ids = np.asarray([base2ind(b) for b in seq], np.int64)
+            starts = chunked_forced_align(lp, ids, starts).astype(np.int32)
         sig_text = "\n".join(str(int(v)) for v in sig)
         rows = "\n".join(
             f"{int(starts[k])} {int(starts[k + 1])} {b}"
@@ -217,15 +265,17 @@ def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
 
 def stage_finetune(work: str, mode: str, max_steps: int,
                    step_rate: float = 2e-3, train_sub: str = None,
-                   valid_sub: str = None) -> None:
+                   valid_sub: str = None, warm_start: str = None) -> None:
     """Warm-start from the bundled model and continue on the current corpora.
 
     Seeds work/models/{MODE}_retrain with the bundled EMA weights as
     model-0.npz (start_step 0, so the EMA num_updates ramp and the LR
     piecewise schedule both restart), then trains with --retrain semantics.
+    ``warm_start`` overrides the source checkpoint dir (e.g. a previous
+    fine-tune's output for bootstrap rounds).
     """
     name = "DNA_default" if mode == "dna" else "RNA_default"
-    src = os.path.join(REPO, "chiron_tpu", "model", name)
+    src = warm_start or os.path.join(REPO, "chiron_tpu", "model", name)
     dst = os.path.join(work, "models", f"{mode.upper()}_retrain")
     os.makedirs(dst, exist_ok=True)
     with open(os.path.join(src, "checkpoint")) as f:
@@ -281,11 +331,17 @@ def main(argv=None) -> int:
                    help="train corpus subdir under --work (e.g. train_realmix)")
     p.add_argument("--valid_sub", default=None,
                    help="validation corpus subdir under --work")
+    p.add_argument("--align_model", default=None,
+                   help="realdata: refine DTW labels by CTC forced "
+                        "alignment through this checkpoint dir's model")
+    p.add_argument("--warm_start", default=None,
+                   help="finetune: source checkpoint dir (default: the "
+                        "bundled model)")
     args = p.parse_args(argv)
     if args.stage == "data":
         stage_data(args.work)
     elif args.stage == "realdata":
-        stage_realdata(args.work)
+        stage_realdata(args.work, align_model=args.align_model)
     elif args.stage == "train":
         _train(args.work, args.mode, args.max_steps,
                step_rate=args.step_rate or 4e-3,
@@ -293,7 +349,8 @@ def main(argv=None) -> int:
     elif args.stage == "finetune":
         stage_finetune(args.work, args.mode, args.max_steps,
                        step_rate=args.step_rate or 2e-3,
-                       train_sub=args.train_sub, valid_sub=args.valid_sub)
+                       train_sub=args.train_sub, valid_sub=args.valid_sub,
+                       warm_start=args.warm_start)
     else:
         stage_install(args.work)
     return 0

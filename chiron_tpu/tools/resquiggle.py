@@ -77,13 +77,15 @@ class PoreModel:
     """k-mer level table. Loadable from the standard ONT tsv layout
     (kmer<TAB>level_mean<TAB>level_stdv...), or a synthetic 1-mer default."""
 
-    def __init__(self, levels: dict, k: int):
+    def __init__(self, levels: dict, k: int, stdvs: Optional[dict] = None):
         self.levels = levels
         self.k = k
+        self.stdvs = stdvs
 
     @classmethod
     def load(cls, path: str) -> "PoreModel":
         levels = {}
+        stdvs = {}
         k = 1
         with open(path) as f:
             for line in f:
@@ -93,7 +95,12 @@ class PoreModel:
                 if len(parts) >= 2:
                     levels[parts[0]] = float(parts[1])
                     k = len(parts[0])
-        return cls(levels, k)
+                if len(parts) >= 3:
+                    try:
+                        stdvs[parts[0]] = float(parts[2])
+                    except ValueError:
+                        pass
+        return cls(levels, k, stdvs or None)
 
     @classmethod
     def default(cls) -> "PoreModel":
@@ -101,8 +108,7 @@ class PoreModel:
         # relative ordering matters); real runs should load an ONT table
         return cls({"A": 100.0, "C": 200.0, "G": 300.0, "T": 400.0}, 1)
 
-    def expected_signal(self, sequence: str) -> np.ndarray:
-        """Per-base expected level (centred k-mer window)."""
+    def _per_base(self, sequence: str, table: dict, default: float):
         n = len(sequence)
         seq = sequence.upper().replace("U", "T")
         out = np.zeros(n, np.float32)
@@ -111,8 +117,22 @@ class PoreModel:
             kmer = seq[max(0, i - half):max(0, i - half) + self.k]
             if len(kmer) < self.k:
                 kmer = (seq[:self.k] if i < half else seq[-self.k:])
-            out[i] = self.levels.get(kmer, np.mean(list(self.levels.values())))
+            out[i] = table.get(kmer, default)
         return out
+
+    def expected_signal(self, sequence: str) -> np.ndarray:
+        """Per-base expected level (centred k-mer window)."""
+        return self._per_base(
+            sequence, self.levels, float(np.mean(list(self.levels.values())))
+        )
+
+    def expected_stdv(self, sequence: str) -> np.ndarray:
+        """Per-base level stdv (1.0 when the table has no stdv column)."""
+        if not self.stdvs:
+            return np.ones(len(sequence), np.float32)
+        return self._per_base(
+            sequence, self.stdvs, float(np.mean(list(self.stdvs.values())))
+        )
 
 
 def znorm(x: np.ndarray) -> np.ndarray:
@@ -247,6 +267,136 @@ def resquiggle_signal(
         starts_exp[0] = 0
     starts = starts_exp[::expand].astype(np.int32)
     starts[m] = len(signal)
+    return starts
+
+
+def resquiggle_events(
+    raw_signal: np.ndarray,
+    sequence: str,
+    pore_model: Optional[PoreModel] = None,
+    radius: int = 100,
+) -> np.ndarray:
+    """Event-level resquiggle: align detected EVENTS to bases, not samples.
+
+    Sample-level DTW (``resquiggle_signal``) lets single bases absorb long
+    sample runs and starves neighbours (measured on the reference's real
+    reads: median dwell 10 at true mean 24, 8% zero-dwell bases); aligning
+    the level-shift event segmentation (tools/pore_estimate.detect_events)
+    to the per-base expected levels instead constrains every boundary to a
+    detected level change — the same trick the cwDTW pipeline gets from
+    aligning two continuous event curves (chiron/chiron_label.py:255-277).
+    Returns starts [len(sequence)+1] in sample coordinates.
+    """
+    from chiron_tpu.tools.pore_estimate import detect_events
+
+    pm = pore_model or PoreModel.default()
+    sig = znorm(raw_signal)
+    ev_starts, ev_means = detect_events(sig)
+    em = np.asarray(ev_means, np.float32)
+    # event means -> base levels, 1 expected entry per base (expand=1)
+    starts_ev = resquiggle_signal(
+        em, sequence, pore_model=pm, radius=radius, expand=1
+    )
+    starts = np.asarray(ev_starts, np.int64)[starts_ev].astype(np.int32)
+    starts[len(sequence)] = len(raw_signal)
+    return starts
+
+
+def viterbi_segment(
+    raw_signal: np.ndarray,
+    sequence: str,
+    pore_model=None,
+    band: int = 1500,
+    stdv_floor: float = 0.15,
+) -> np.ndarray:
+    """Segmental-HMM resquiggle: banded Viterbi with a dwell prior.
+
+    DTW's free stay/skip moves produce pathological segmentations on noisy
+    real signal (measured on the reference's example reads: median dwell
+    10 at true mean 24, 8% of bases assigned zero samples — see
+    ``resquiggle_events``). This models what the signal actually is: base
+    k emits a geometric-dwell run of samples at level(k); transitions cost
+    ``log p_move``, stays ``log (1-p_move)`` with ``p_move = m/n``, so
+    every base consumes >= 1 sample and dwell skew is penalised instead of
+    free. DP over [m bases x 2*band samples] around the uniform diagonal,
+    vectorised per base row. Emission is a per-kmer Gaussian when the
+    model carries stdvs (ONT table layout), unit-variance otherwise.
+
+    Returns starts [len(sequence)+1] in sample coordinates.
+    """
+    sig = znorm(raw_signal).astype(np.float32)
+    n = len(sig)
+    m = len(sequence)
+    if m < 2 or n < m:
+        return np.linspace(0, n, m + 1).astype(np.int32)
+    pm = pore_model or PoreModel.default()
+    levels = np.asarray(pm.expected_signal(sequence), np.float32)
+    lmean, lstd = float(np.mean(levels)), float(np.std(levels) or 1.0)
+    levels = (levels - lmean) / lstd
+    stdvs = np.full(m, 1.0, np.float32)
+    if hasattr(pm, "expected_stdv"):
+        stdvs = np.maximum(
+            np.asarray(pm.expected_stdv(sequence), np.float32) / lstd,
+            stdv_floor,
+        )
+
+    p_move = m / n
+    move_cost = np.float32(np.log(p_move))
+    stay_cost = np.float32(np.log1p(-p_move))
+
+    # band around the uniform diagonal: score[k][j] = best log-prob of
+    # bases 0..k consuming samples 0..j-1 with sample j-1 emitted by base
+    # k; j constrained to [lo[k], hi[k])
+    diag = np.round(np.arange(1, m + 1) * (n / m)).astype(np.int64)
+    lo = np.maximum(diag - band, np.arange(1, m + 1))      # >= k+1 samples
+    hi = np.minimum(diag + band + 1, n - (m - np.arange(1, m + 1)) + 1)
+    np.maximum(hi, lo + 1, out=hi)
+    width = int(np.max(hi - lo))
+
+    neg = np.float32(-1e30)
+    prev = np.full(width, neg, np.float32)
+    # moves[k, i] = 1 iff base k's run STARTS at sample (lo[k]+i)-1
+    moves = np.zeros((m, width), np.uint8)
+    j0 = np.arange(int(lo[0]), int(hi[0]))
+    em0 = -0.5 * ((sig[j0 - 1] - levels[0]) / stdvs[0]) ** 2 - np.log(stdvs[0])
+    prev[: len(j0)] = np.cumsum(em0) + stay_cost * (j0 - 1)
+    moves[0, 0] = 1  # base 0 starts at sample 0 (j0[0] == 1)
+    prev_lo = int(lo[0])
+    for k in range(1, m):
+        klo, khi = int(lo[k]), int(hi[k])
+        w = khi - klo
+        j = np.arange(klo, khi)
+        em = -0.5 * ((sig[j - 1] - levels[k]) / stdvs[k]) ** 2 - np.log(
+            stdvs[k]
+        )
+        idx = j - 1 - prev_lo
+        from_prev = np.where(
+            (idx >= 0) & (idx < width), prev[np.clip(idx, 0, width - 1)], neg
+        ) + move_cost
+        # cur[i] = em[i] + max(from_prev[i], cur[i-1] + stay_cost): a
+        # max-plus prefix scan. With E = cumsum(em) and ramp = i*stay_cost:
+        # cur[i] = E[i] + ramp[i] + max_{s<=i}(from_prev[s] - E[s-1]
+        # - ramp[s])
+        ramp = stay_cost * np.arange(w, dtype=np.float32)
+        E = np.cumsum(em).astype(np.float32)
+        E_prev = np.concatenate([[np.float32(0.0)], E[:-1]])
+        cand = from_prev - E_prev - ramp
+        run = np.maximum.accumulate(cand)
+        moves[k, :w] = cand >= run  # chain start here; tie -> advance
+        prev = np.full(width, neg, np.float32)
+        prev[:w] = E + ramp + run
+        prev_lo = klo
+    # backtrack from score[m-1][n] (all samples consumed)
+    starts = np.zeros(m + 1, np.int32)
+    starts[m] = n
+    j = n
+    for k in range(m - 1, -1, -1):
+        klo = int(lo[k])
+        while j > klo and not moves[k, j - klo]:
+            j -= 1
+        starts[k] = j - 1
+        j -= 1
+    starts[0] = 0
     return starts
 
 
