@@ -32,6 +32,15 @@ The committed ACCURACY.json must always carry EVERY axis (a skipped axis
 is a tracking regression — VERDICT r2 missing #3); tests/
 test_accuracy_smoke.py floors the synthetic identity in the test suite.
 
+METRIC CALIBRATION (round-3 finding): the banded global aligner scores a
+RANDOM same-length caller at ~0.52 identity (free mismatch pairing), so
+raw identity compresses all real skill into [0.52, 1]. Every axis
+therefore also reports ``skill`` ((identity - 0.525) / 0.475, 0 = noise)
+and ``kmer11_hit_rate`` (fraction of called 11-mers present in the
+reference; chance ~0.002 — junk output cannot inflate it). Historical
+context: the r1/r2 real_dna identities (0.62-0.69) sat at or barely above
+the random baseline; the synthetic axes carry genuine but modest skill.
+
 Usage:  python accuracy.py [--cpu] [--beam N] [--quick]
 Output: one JSON document in ACCURACY.json + a summary line per axis.
 """

@@ -177,6 +177,25 @@ def banded_global_align(
     return matches, mismatches, insertions, deletions
 
 
+def kmer_hit_rate(called: str, reference: str, k: int = 11) -> float:
+    """Fraction of the called read's k-mers present in the reference.
+
+    The global-alignment identity of a RANDOM same-length 4-letter
+    sequence is ~0.52 (free mismatch pairing), so identity alone cannot
+    distinguish weak basecalls from noise. An 11-mer from a random caller
+    hits a 10kb reference with probability ~10kb/4^11 = 0.002 — this
+    statistic is ~0 for junk and rises only with genuine local accuracy
+    (analogous to the seed-hit rate of the reference's graphmap assessment
+    stage, chiron/utils/assess.sh:15).
+    """
+    if len(called) < k or len(reference) < k:
+        return 0.0
+    ref_kmers = {reference[i:i + k] for i in range(len(reference) - k + 1)}
+    n = len(called) - k + 1
+    hits = sum(1 for i in range(n) if called[i:i + k] in ref_kmers)
+    return hits / n
+
+
 def assess_read(called: str, reference: str, band: Optional[int] = None) -> dict:
     ma, mi, ins, de = banded_global_align(called, reference, band)
     ref_len = len(reference)
@@ -189,6 +208,7 @@ def assess_read(called: str, reference: str, band: Optional[int] = None) -> dict
         "error_rate": (mi + ins + de) / max(ref_len, 1),
         "called_len": len(called),
         "ref_len": ref_len,
+        "kmer11_hit_rate": kmer_hit_rate(called, reference),
     }
 
 
@@ -224,15 +244,30 @@ def assess_dir(result_dir: str, reference: str, band: Optional[int] = None) -> d
             for key in ("matches", "mismatches", "insertions", "deletions", "ref_len"):
                 totals[key] += row[key]
     ref_total = max(totals["ref_len"], 1)
+    called_total = sum(r["called_len"] for r in rows.values())
+    kmer11 = (
+        sum(r["kmer11_hit_rate"] * r["called_len"] for r in rows.values())
+        / max(called_total, 1)
+    )
+    identity = totals["matches"] / ref_total
+    # identity of a random same-length caller under this aligner is ~0.52
+    # (forced mismatch pairing); "skill" rescales so 0 = noise, 1 = perfect
     summary = {
         "n_reads": len(rows),
-        "identity": totals["matches"] / ref_total,
+        "identity": identity,
+        "skill": max(0.0, (identity - RANDOM_IDENTITY) / (1 - RANDOM_IDENTITY)),
+        "kmer11_hit_rate": kmer11,
         "mismatch_rate": totals["mismatches"] / ref_total,
         "insertion_rate": totals["insertions"] / ref_total,
         "deletion_rate": totals["deletions"] / ref_total,
         "error_rate": (totals["mismatches"] + totals["insertions"] + totals["deletions"]) / ref_total,
     }
     return {"reads": rows, "summary": summary}
+
+
+# measured on random same-length 4-letter pairs through banded_global_align
+# (1k/2.5k bases: 0.522/0.527); see kmer_hit_rate docstring
+RANDOM_IDENTITY = 0.525
 
 
 def main(argv=None):

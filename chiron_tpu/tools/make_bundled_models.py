@@ -207,16 +207,22 @@ def stage_realdata(work: str, repeats: int = 8,
             ids = np.asarray([base2ind(b) for b in seq], np.int64)
             starts = chunked_forced_align(lp, ids, starts).astype(np.int32)
         sig_text = "\n".join(str(int(v)) for v in sig)
-        rows = "\n".join(
+        row_list = [
             f"{int(starts[k])} {int(starts[k + 1])} {b}"
             for k, b in enumerate(seq)
-        )
+        ]
         for r in range(repeats):
+            # each rep drops r*3 leading labels so its windows are cut at
+            # DIFFERENT phases: identical copies let the trainer memorise
+            # one fixed window set of the tiny real corpus instead of
+            # learning translation-invariant structure (the same idea as
+            # the reference's per-epoch offset re-windowing,
+            # chiron_rcnn_train.py:100-103, paid once at data-gen time)
             prefix = os.path.join(real_dir, f"{name}_rep{r}")
             with open(prefix + ".signal", "w") as f:
                 f.write(sig_text + "\n")
             with open(prefix + ".label", "w") as f:
-                f.write(rows + "\n")
+                f.write("\n".join(row_list[r * 3:]) + "\n")
         print(f"{name}: {len(sig)} samples, {len(seq)} bases, "
               f"dwell {len(sig) / len(seq):.1f}, x{repeats}")
 
