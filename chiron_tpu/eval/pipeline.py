@@ -135,7 +135,10 @@ def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
 
     from chiron_tpu.models.rnn import _use_pallas
 
-    use_pallas_beam = _use_pallas() and C.class_n(config) == 5
+    # the Pallas kernel is generic over the label count (blank-last classes
+    # ride the 8-sublane lp axis), so the 6-class ACGTX methylation alphabet
+    # stays on the fast path too
+    use_pallas_beam = _use_pallas() and C.class_n(config) <= 8
 
     def step(params, x, seq_len):
         logits = apply_model(params, config, x, seq_len)

@@ -17,7 +17,8 @@ beams/candidates ride the SUBLANE axis. TPU vregs are (8 sublanes x 128
 lanes); a [seg, TB=128] state array packs vregs exactly, whereas the
 transposed [TB, seg] form pads seg lanes up to 128 and wastes most of every
 VPU op. The candidate axis only needs sublane granularity (multiple of 8),
-so the pool is exactly CAND = 5*seg rows — no padding to full lanes — and
+so the pool is exactly CAND = (nlab+1)*seg rows — no padding to full lanes
+(nlab = non-blank label count, 4 for ACGT, 5 for ACGTX methylation) — and
 all cross-candidate reductions (top-k max, merge sums, one-hot gathers) are
 cheap sublane trees instead of lane shuffles.
 
@@ -46,14 +47,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chiron_tpu.config import BLANK
-
 _NEG = -1e30
 _H1_MULT = np.int32(-1640531535)  # 2654435761 as int32 (same bits)
 _H2_MULT = np.int32(0x01000193)
-NLAB = 4  # non-blank labels
-NSEG = NLAB + 1
 MAX_SEG = 64  # widest supported beam (merge matrix is [seg, seg, TB])
+MAX_CLASS = 8  # classes ride the 8-sublane axis of the [8, TB] lp block
 
 
 def seg_for(w: int) -> int:
@@ -71,7 +69,7 @@ def _lae(a, b):
 BEAM_CHUNK = 8
 
 
-def _beam_kernel(w, seg, chunk, lens_ref, lp_ref, trace_ref,
+def _beam_kernel(w, seg, nlab, chunk, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
     """``chunk`` search steps per grid iteration.
 
@@ -79,7 +77,7 @@ def _beam_kernel(w, seg, chunk, lens_ref, lp_ref, trace_ref,
     lets the beam state live in registers across the unrolled sub-steps
     instead of bouncing through VMEM scratch every step.
     """
-    # w, seg and chunk are STATIC python ints (baked into the program)
+    # w, seg, nlab and chunk are STATIC python ints (baked into the program)
     tc = pl.program_id(1)
     tb = pb_s.shape[1]  # lane width = batch tile
     row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
@@ -99,23 +97,23 @@ def _beam_kernel(w, seg, chunk, lens_ref, lp_ref, trace_ref,
     state = (pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:],
              ph2_s[:])
     for j in range(chunk):
-        state = _beam_step(w, seg, tc * chunk + j, j, lens_ref, lp_ref,
+        state = _beam_step(w, seg, nlab, tc * chunk + j, j, lens_ref, lp_ref,
                            trace_ref, state)
     pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:], ph2_s[:] = state
 
 
-def _beam_step(w, seg, t, j, lens_ref, lp_ref, trace_ref, state):
+def _beam_step(w, seg, nlab, t, j, lens_ref, lp_ref, trace_ref, state):
     pb, pnb, h1, h2, last, ph1, ph2 = state
     tb = pb.shape[1]
-    cand = seg * NSEG
+    cand = seg * (nlab + 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
     live = row < w  # [seg, TB] valid beam slots
 
-    lp = lp_ref[j]  # [8, TB] (5 classes padded to 8 sublanes)
-    lp_blank = lp[BLANK:BLANK + 1]  # [1, TB]
-    # lp at each beam's last label via 4-way select (no gathers on TPU)
+    lp = lp_ref[j]  # [8, TB] (nlab+1 classes padded to 8 sublanes)
+    lp_blank = lp[nlab:nlab + 1]  # [1, TB] (blank is the LAST class)
+    # lp at each beam's last label via nlab-way select (no gathers on TPU)
     lp_last = jnp.full((seg, tb), 0.0)
-    for c in range(NLAB):
+    for c in range(nlab):
         lp_last = jnp.where(last == c, lp[c:c + 1], lp_last)
 
     pb_or_pnb = _lae(pb, pnb)
@@ -125,7 +123,7 @@ def _beam_step(w, seg, t, j, lens_ref, lp_ref, trace_ref, state):
     stay_pnb = jnp.where(live, stay_pnb, _NEG)
 
     ext_pnb = []
-    for c in range(NLAB):
+    for c in range(nlab):
         base = jnp.where(last == c, pb, pb_or_pnb)
         e = lp[c:c + 1] + base
         ext_pnb.append(jnp.where(live, e, _NEG))
@@ -148,33 +146,36 @@ def _beam_step(w, seg, t, j, lens_ref, lp_ref, trace_ref, state):
         & (live_i[None, :, :] > 0)
         & (last_y >= 0)
     )
-    # contribution value: the extend (X, c=last[Y]) non-blank mass
+    # contribution value: the extend (X, c=last[Y]) non-blank mass.
+    # Beam strings are pairwise distinct (duplicate extends are killed the
+    # step they appear), so each stay Y matches AT MOST ONE parent X — the
+    # log-sum-exp accumulation over X collapses to a masked sum (no
+    # exp/log transcendentals over the [seg, seg, TB] matrix), and the
+    # per-label killed[] any-reductions collapse to ONE bitmask pass.
     lp_y = jnp.full((seg, tb), 0.0)         # lp at last[Y], per stay row
-    for c in range(NLAB):
+    for c in range(nlab):
         lp_y = jnp.where(last == c, lp[c:c + 1], lp_y)
     base_xy = jnp.where(
         last[:, None, :] == last_y, pb[:, None, :], pb_or_pnb[:, None, :]
     )
-    contrib = jnp.where(eq, lp_y[None, :, :] + base_xy, _NEG)  # [X, Y, TB]
-    m_y = jnp.max(contrib, axis=0)                             # [seg, TB]
-    s_y = jnp.sum(jnp.where(eq, jnp.exp(contrib - m_y[None]), 0.0), axis=0)
-    merged_total = jnp.where(
-        m_y > _NEG / 2, m_y + jnp.log(jnp.maximum(s_y, 1e-37)), _NEG
-    )
-    # extend (X, c) is killed iff it merged into some stay with last == c
-    killed = [
-        jnp.any(eq & (last_y == c), axis=1)  # [seg, TB] over stays Y
-        for c in range(NLAB)
-    ]
+    raw_y = jnp.sum(jnp.where(eq, base_xy, 0.0), axis=0)       # [seg, TB]
+    any_y = jnp.any(eq, axis=0)                                # [seg, TB]
+    merged_total = jnp.where(any_y, lp_y + raw_y, _NEG)
+    # extend (X, c) is killed iff it merged into some stay with last == c;
+    # bit c of the per-X merge mask records that in one [seg,seg,TB] pass
+    bits_x = jnp.sum(
+        jnp.where(eq, jnp.left_shift(1, jnp.maximum(last_y, 0)), 0), axis=1
+    )  # [seg, TB] over stays Y
+    killed = [(bits_x >> c) & 1 > 0 for c in range(nlab)]
     stay_pnb = _lae(stay_pnb, merged_total)
 
     # ---- assemble candidate rows [cand, TB] ------------------------------
     cand_pb = jnp.concatenate(
-        [stay_pb] + [jnp.full((seg, tb), _NEG)] * NLAB, axis=0
+        [stay_pb] + [jnp.full((seg, tb), _NEG)] * nlab, axis=0
     )
     cand_pnb = jnp.concatenate(
         [stay_pnb]
-        + [jnp.where(killed[c], _NEG, ext_pnb[c]) for c in range(NLAB)],
+        + [jnp.where(killed[c], _NEG, ext_pnb[c]) for c in range(nlab)],
         axis=0,
     )
     score = _lae(cand_pb, cand_pnb)
@@ -231,7 +232,7 @@ def _beam_step(w, seg, t, j, lens_ref, lp_ref, trace_ref, state):
     # extend value recomputed from the parent (killed extends can never be
     # selected: their candidate score is _NEG)
     lp_c = jnp.full((seg, tb), 0.0)
-    for c in range(NLAB):
+    for c in range(nlab):
         lp_c = jnp.where(chars == c, lp[c:c + 1], lp_c)
     ext_val = lp_c + jnp.where(p_last == chars, p_pb, p_pon)
 
@@ -322,7 +323,9 @@ def beam_search_pallas(
         raise ValueError(f"beam_width must be <= {MAX_SEG}")
     seg = seg_for(beam_width)
     bsz, t_max, nclass = logits.shape
-    assert nclass == 5
+    if nclass > MAX_CLASS:
+        raise ValueError(f"nclass must be <= {MAX_CLASS}")
+    nlab = nclass - 1  # blank is the LAST class (config.BLANK convention)
     bp = -(-bsz // batch_tile) * batch_tile
     # pad time to a multiple of lcm(BEAM_CHUNK, TRACE_CHUNK): padded steps
     # are inactive for every row (lens <= t_max), so the freeze logic emits
@@ -330,8 +333,8 @@ def beam_search_pallas(
     tmul = max(BEAM_CHUNK, TRACE_CHUNK)
     t_pad = -(-t_max // tmul) * tmul
     lp = jax.nn.log_softmax(logits, axis=-1)
-    lp = jnp.transpose(lp, (1, 2, 0))  # [T, 5, B]
-    lp = jnp.pad(lp, ((0, t_pad - t_max), (0, 3), (0, bp - bsz)),
+    lp = jnp.transpose(lp, (1, 2, 0))  # [T, nclass, B]
+    lp = jnp.pad(lp, ((0, t_pad - t_max), (0, 8 - nclass), (0, bp - bsz)),
                  constant_values=_NEG)
     lens = jnp.pad(seq_lengths.astype(jnp.int32), (0, bp - bsz))
     lens_b = jnp.broadcast_to(lens[None, :], (8, bp))
@@ -339,7 +342,7 @@ def beam_search_pallas(
     n_tiles = bp // batch_tile
 
     (pb, pnb, trace) = pl.pallas_call(
-        functools.partial(_beam_wrapper, beam_width, seg, BEAM_CHUNK),
+        functools.partial(_beam_wrapper, beam_width, seg, nlab, BEAM_CHUNK),
         grid=(n_tiles, t_pad // BEAM_CHUNK),
         in_specs=[
             pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
@@ -415,9 +418,9 @@ def beam_search_pallas(
     return decoded, lengths, log_prob[:bsz]
 
 
-def _beam_wrapper(w, seg, chunk, lens_ref, lp_ref, pb_out, pnb_out, trace_ref,
-                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
-    _beam_kernel(w, seg, chunk, lens_ref, lp_ref, trace_ref,
+def _beam_wrapper(w, seg, nlab, chunk, lens_ref, lp_ref, pb_out, pnb_out,
+                  trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
+    _beam_kernel(w, seg, nlab, chunk, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]

@@ -209,6 +209,13 @@ def test_methylation_alphabet_model():
     assert np.all(np.asarray(dec)[np.asarray(dec) >= 0] <= 4)  # X = class 4
     bdec, blens, _ = beam_search_decode(logits, sl, beam_width=4)
     assert bdec.shape == (3, 24)
+    # the Pallas fast path must cover 6 classes too (interpreter parity)
+    from chiron_tpu.ops.pallas.beam import beam_search_pallas
+
+    pdec, plens, _ = beam_search_pallas(logits, sl, beam_width=4,
+                                        batch_tile=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bdec), np.asarray(pdec))
+    np.testing.assert_array_equal(np.asarray(blens), np.asarray(plens))
     labels = jnp.asarray([[0, 4, 2], [1, 1, 3], [4, 4, 4]])
     loss = ctc_loss(logits, sl, labels, jnp.asarray([3, 3, 3]))
     assert np.all(np.isfinite(np.asarray(loss)))
