@@ -43,6 +43,31 @@ def test_resquiggle_long_read():
     assert err < 6.0, err
 
 
+def test_viterbi_segment_recovers_boundaries():
+    from chiron_tpu.tools.resquiggle import viterbi_segment
+
+    rng = np.random.RandomState(2)
+    seq, true_starts, lengths, signal = synth_read(rng, n_bases=150, noise=3.0)
+    starts = viterbi_segment(signal, seq, band=400)
+    assert starts[0] == 0 and starts[-1] == len(signal)
+    # the dwell prior forbids zero-dwell bases entirely
+    assert np.all(np.diff(starts) >= 1)
+    err = _boundary_error(starts, true_starts)
+    assert err < 6.0, err
+
+
+def test_resquiggle_events_recovers_boundaries():
+    from chiron_tpu.tools.resquiggle import resquiggle_events
+
+    rng = np.random.RandomState(3)
+    seq, true_starts, lengths, signal = synth_read(rng, n_bases=150, noise=3.0)
+    starts = resquiggle_events(signal, seq, radius=60)
+    assert starts[0] == 0 and starts[-1] == len(signal)
+    assert np.all(np.diff(starts) >= 0)
+    err = _boundary_error(starts, true_starts)
+    assert err < 6.0, err
+
+
 def test_events_from_starts():
     starts = np.asarray([0, 5, 12, 20])
     rows = events_from_starts(starts, "ACG")
