@@ -196,7 +196,21 @@ def kmer_hit_rate(called: str, reference: str, k: int = 11) -> float:
     return hits / n
 
 
+def _canon(seq: str) -> str:
+    """Canonical scoring alphabet: uppercase, U -> T.
+
+    RNA-mode basecalls are written with U (io/writers.py:44-45, parity with
+    chiron/chiron_eval.py:204-205) while references/truth fastas use T; an
+    alphabet-sensitive aligner would score every U as a mismatch (~25% of
+    bases), burying all genuine skill below the random-identity floor —
+    exactly the round-3 synthetic_rna "skill 0.00" artifact.
+    """
+    return seq.upper().replace("U", "T")
+
+
 def assess_read(called: str, reference: str, band: Optional[int] = None) -> dict:
+    called = _canon(called)
+    reference = _canon(reference)
     ma, mi, ins, de = banded_global_align(called, reference, band)
     ref_len = len(reference)
     return {

@@ -67,6 +67,14 @@ def test_assess_known_alignment():
     # one insertion
     r = assess_read("ACGGTACGTACGT", ref)
     assert r["insertions"] == 1 and r["matches"] == 12
+    # RNA-mode output writes U for T (io/writers.py:44-45); the scorer must
+    # canonicalize or every U counts as a mismatch (the round-3
+    # synthetic_rna "skill 0.00" artifact)
+    r = assess_read("ACGUACGUACGU", ref)
+    assert r["identity"] == 1.0 and r["error_rate"] == 0.0
+    r = assess_read("acguacguacgu", ref)
+    assert r["identity"] == 1.0
+    assert r["kmer11_hit_rate"] == 1.0
 
 
 def test_assess_dir(tmp_path):
