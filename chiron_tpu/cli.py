@@ -37,6 +37,19 @@ def evaluation(args):
         default_p = PRESETS["dna-pre"]
         if args.mode == "rna":
             raise ValueError("Try to use the DNA preset parameter setting in RNA mode.")
+    elif args.preset == "dna-slow-pre":
+        default_p = PRESETS["dna-slow-pre"]
+        if args.mode == "rna":
+            raise ValueError("Try to use the DNA preset parameter setting in RNA mode.")
+        default_model = path.join(
+            path.abspath(path.dirname(__file__)), "model", "DNA_default"
+        )
+        if args.model == default_model:
+            # the slow preset implies the slow-regime bundled model unless
+            # the user picked one explicitly
+            args.model = path.join(
+                path.abspath(path.dirname(__file__)), "model", "DNA_slow"
+            )
     elif args.preset == "rna-pre":
         default_p = PRESETS["rna-pre"]
         if args.mode == "dna":

@@ -53,6 +53,18 @@ PRESETS: Dict[str, Dict[str, int]] = {
         "threads": 0,
         "beam": 30,
     },
+    # slow-translocation DNA (~18-32 samples/base, the regime of the
+    # reference's real example reads): long windows + the DNA_slow model's
+    # stride-5 front. Framework extension — the reference has no preset for
+    # this regime (its entry.py:20-31 ships only dna-pre/rna-pre).
+    "dna-slow-pre": {
+        "start": 0,
+        "batch_size": 300,
+        "segment_len": 2000,
+        "jump": 1900,
+        "threads": 0,
+        "beam": 30,
+    },
 }
 
 # Number of CTC classes: A, C, G, T, blank. Blank is the LAST class

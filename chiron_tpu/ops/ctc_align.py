@@ -110,6 +110,10 @@ def chunked_forced_align(
             continue
         sub = forced_align(lp[c0:c1], labels[u_lo:u_hi])
         starts[u_lo:u_hi] = sub[:-1] + c0
+    # NOTE: the first label is defined to absorb any leading blank region
+    # (starts[0] = 0), unlike unchunked forced_align which places it after
+    # leading blanks. Bootstrap windowing clips label 0's dwell anyway, and
+    # a whole-read-coordinate 0 keeps chunk boundaries monotone.
     starts[0] = 0
     # enforce monotonicity across chunk boundaries
     np.maximum.accumulate(starts, out=starts)

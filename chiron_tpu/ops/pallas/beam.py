@@ -152,6 +152,11 @@ def _beam_step(w, seg, nlab, t, j, lens_ref, lp_ref, trace_ref, state):
     # log-sum-exp accumulation over X collapses to a masked sum (no
     # exp/log transcendentals over the [seg, seg, TB] matrix), and the
     # per-label killed[] any-reductions collapse to ONE bitmask pass.
+    # Distinctness is enforced via the 2x32-bit string hash pair: on a hash
+    # collision two parents would match one stay and their LOG-probs ADD
+    # (-5 + -7 = -12), corrupting that beam score — vs the old LSE which
+    # merged to a sane value. Accepted: collision odds are ~2^-64 per pair
+    # and a corrupted score only demotes one beam entry.
     lp_y = jnp.full((seg, tb), 0.0)         # lp at last[Y], per stay row
     for c in range(nlab):
         lp_y = jnp.where(last == c, lp[c:c + 1], lp_y)

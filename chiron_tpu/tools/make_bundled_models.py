@@ -116,6 +116,44 @@ def stage_data(work: str, dna_reads: int = 450, rna_reads: int = 120) -> None:
     print(f"corpora -> {work}/train_dna train_rna valid_dna valid_rna")
 
 
+# DNA_slow corpus: the slow-translocation regime (the reference's real
+# example reads measure 22-26 samples/base). Long 2000-sample windows give
+# the model ~83 bases of context; domain randomization over dwell 18-32
+# with AR(1) level noise (real pore noise is low-pass).
+SLOW_SEEDS = (400, 401, 402, 403, 404, 405)
+SLOW_VALID_SEED = 558
+SLOW_VARIANTS = (
+    dict(mean_dwell=18.0, max_dwell=110, noise=1.0, noise_ar=0.7),
+    dict(mean_dwell=21.0, max_dwell=130, noise=1.1, noise_ar=0.7),
+    dict(mean_dwell=24.0, max_dwell=140, noise=1.0, noise_ar=0.7),
+    dict(mean_dwell=24.0, max_dwell=140, noise=1.0),  # white-noise variant
+    dict(mean_dwell=27.0, max_dwell=150, noise=1.0, noise_ar=0.7,
+         drift_walk=0.006, drift_sine_amp=0.2),
+    dict(mean_dwell=32.0, max_dwell=170, noise=1.15, noise_ar=0.7),
+)
+
+
+def stage_data_slow(work: str, reads_per_variant: int = 180) -> None:
+    from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
+
+    pore_path = os.path.join(work, "dna_pore_model.tsv")
+    if not os.path.exists(pore_path):
+        bundled = os.path.join(REPO, "chiron_tpu", "model", "DNA_default",
+                               "pore_model.tsv")
+        shutil.copy2(bundled, pore_path)
+    dna = KmerModel.load(pore_path)
+    for i, (kw, seed) in enumerate(zip(SLOW_VARIANTS, SLOW_SEEDS)):
+        simulate_corpus(os.path.join(work, "train_dna_slow", f"v{i}"),
+                        reads_per_variant, 4000, seed=seed, model=dna,
+                        cfg=SimConfig(**kw))
+        print(f"slow variant {i} done: {kw}")
+    simulate_corpus(
+        os.path.join(work, "valid_dna_slow"), 24, 4000, seed=SLOW_VALID_SEED,
+        model=dna, cfg=SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7),
+    )
+    print(f"slow corpus -> {work}/train_dna_slow (+ valid_dna_slow)")
+
+
 REAL_SEED_SLOW = 300
 REAL_SEED_FAST = 301
 REAL_VALID_SEED = 557
@@ -180,8 +218,18 @@ def stage_realdata(work: str, repeats: int = 8,
     if align_model:
         from chiron_tpu import config as C
         from chiron_tpu.eval.pipeline import load_params
+        from chiron_tpu.models import model_ratio
 
         align_cfg = C.read_config(os.path.join(align_model, "model.json"))
+        if model_ratio(align_cfg, 400) != 1:
+            # _read_logits assumes one logit frame per signal sample and
+            # chunked_forced_align anchors on sample-coordinate starts; a
+            # strided align model would silently misplace every label
+            raise ValueError(
+                "--align_model must be a stride-1 model (one logit per "
+                f"sample); {align_model} has ratio "
+                f"{model_ratio(align_cfg, 400)}"
+            )
         align_params = load_params(align_model, align_cfg)
 
     pore_path = os.path.join(
@@ -254,6 +302,21 @@ def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
             sequence_len=400, batch_size=400, step_rate=step_rate,
             max_steps=max_steps, sig_norm=1, retrain=retrain,
         )
+    elif mode == "dna_slow":
+        tsub = train_sub or "train_dna_slow"
+        vsub = valid_sub or "valid_dna_slow"
+        h = types.SimpleNamespace(
+            data_dir=os.path.join(work, tsub),
+            log_dir=os.path.join(work, "models"),
+            model_name="DNA_SLOW_retrain",
+            validation=os.path.join(work, vsub),
+            train_cache=os.path.join(work, f"cache_{tsub}"),
+            valid_cache=os.path.join(work, f"cache_{vsub}"),
+            sequence_len=2000, batch_size=320, step_rate=step_rate,
+            max_steps=max_steps, sig_norm=1, retrain=retrain,
+            configure=os.path.join(REPO, "chiron_tpu", "model", "DNA_slow",
+                                   "model.json"),
+        )
     else:
         h = types.SimpleNamespace(
             data_dir=os.path.join(work, "train_rna"),
@@ -297,7 +360,8 @@ def stage_finetune(work: str, mode: str, max_steps: int,
 
 def stage_install(work: str) -> None:
     """Copy trained checkpoints into the bundled model folders."""
-    for mode, name in (("dna", "DNA_default"), ("rna", "RNA_default")):
+    for mode, name in (("dna", "DNA_default"), ("rna", "RNA_default"),
+                       ("dna_slow", "DNA_slow")):
         src = os.path.join(work, "models", f"{mode.upper()}_retrain")
         dst = os.path.join(REPO, "chiron_tpu", "model", name)
         if not os.path.isdir(src):
@@ -319,7 +383,7 @@ def stage_install(work: str) -> None:
         # the checkpoint-state file is a plain filename (train/checkpoint.py)
         with open(os.path.join(dst, "checkpoint"), "w") as fh:
             fh.write(f"ema-{step}.npz\n")
-        if mode == "dna":
+        if mode in ("dna", "dna_slow"):
             shutil.copy2(os.path.join(work, "dna_pore_model.tsv"),
                          os.path.join(dst, "pore_model.tsv"))
         print(f"installed {name} <- {src} ({', '.join(ckpts)})")
@@ -328,8 +392,8 @@ def stage_install(work: str) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--stage", required=True,
-                   choices=["data", "realdata", "train", "finetune", "install"])
-    p.add_argument("--mode", default="dna", choices=["dna", "rna"])
+                   choices=["data", "data_slow", "realdata", "train", "finetune", "install"])
+    p.add_argument("--mode", default="dna", choices=["dna", "rna", "dna_slow"])
     p.add_argument("--work", default="/tmp/bundled_models")
     p.add_argument("--max_steps", type=int, default=16000)
     p.add_argument("--step_rate", type=float, default=None)
@@ -346,6 +410,8 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     if args.stage == "data":
         stage_data(args.work)
+    elif args.stage == "data_slow":
+        stage_data_slow(args.work)
     elif args.stage == "realdata":
         stage_realdata(args.work, align_model=args.align_model)
     elif args.stage == "train":

@@ -335,6 +335,18 @@ def train(hparams) -> Dict[str, Any]:
     ratio = model_ratio(config, seq_len)
 
     sig_norm = getattr(hparams, "sig_norm", None)
+
+    def _shard_cache(cache_dir):
+        # each process's cache holds only its file shard (build params embed
+        # (process_index, n_proc)); on a shared filesystem every process
+        # must therefore write a DISJOINT cache dir or they would race to
+        # rebuild/invalidate the same one with different shards
+        if cache_dir and n_proc > 1:
+            return os.path.join(cache_dir, f"shard{jax.process_index()}")
+        return cache_dir
+
+    train_cache = _shard_cache(getattr(hparams, "train_cache", None))
+    valid_cache = _shard_cache(getattr(hparams, "valid_cache", None))
     dataset = load_dataset(
         hparams.data_dir,
         seq_len,
@@ -342,7 +354,7 @@ def train(hparams) -> Dict[str, Any]:
         max_segments=getattr(hparams, "segments_num", None),
         sig_norm=sig_norm,
         tfrecord=getattr(hparams, "tfrecord", None),
-        cache_dir=getattr(hparams, "train_cache", None),
+        cache_dir=train_cache,
         file_shard=file_shard,
     )
     if dataset.n == 0:
@@ -351,7 +363,7 @@ def train(hparams) -> Dict[str, Any]:
     valid = None
     if getattr(hparams, "validation", None):
         valid = load_dataset(hparams.validation, seq_len, sig_norm=sig_norm,
-                             cache_dir=getattr(hparams, "valid_cache", None),
+                             cache_dir=valid_cache,
                              file_shard=file_shard)
 
     params, start_step = (None, None)
@@ -397,7 +409,8 @@ def train(hparams) -> Dict[str, Any]:
                 skip_start=skip_start,
                 sig_norm=sig_norm,
                 tfrecord=getattr(hparams, "tfrecord", None),
-                cache_dir=getattr(hparams, "train_cache", None),
+                cache_dir=train_cache,
+                file_shard=file_shard,
             )
         batch = dataset.next_batch(local_batch)
         batch["seq_len"] = np.round(batch["seq_len"] / ratio).astype(np.int32)
