@@ -28,6 +28,12 @@ the framework's own aligner (chiron_tpu/tools/assess.py):
      synthetic runtime (even in --quick, which halves its read count);
      skip it with --skip synthetic_dna_slow when iterating fast.
 
+Model routing: real_dna and synthetic_dna_slow are basecalled with the
+bundled DNA_slow model at the dna-slow-pre preset (seg 2000/jump 1900)
+when its checkpoint is installed — real reads run at 22-26 samples/base,
+squarely in DNA_slow's regime — falling back to DNA_default at seg 400
+otherwise; each axis records which model produced it ("model").
+
 The committed ACCURACY.json must always carry EVERY axis (a skipped axis
 is a tracking regression — VERDICT r2 missing #3); tests/
 test_accuracy_smoke.py floors the synthetic identity in the test suite.
@@ -59,6 +65,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 REFERENCE_DNA = "/root/reference/chiron/example_data/DNA"
 MODEL_DNA = os.path.join(REPO, "chiron_tpu", "model", "DNA_default")
 MODEL_RNA = os.path.join(REPO, "chiron_tpu", "model", "RNA_default")
+# slow-translocation model (dna-slow-pre preset): used for the real reads
+# (22-26 samples/base) and the synthetic slow axis; falls back to
+# DNA_default at seg 400 when no DNA_slow checkpoint is installed
+MODEL_SLOW = os.path.join(REPO, "chiron_tpu", "model", "DNA_slow")
+
+
+def _slow_model():
+    if os.path.exists(os.path.join(MODEL_SLOW, "checkpoint")):
+        return MODEL_SLOW, dict(batch=300, seg=2000, jump=1900)
+    return MODEL_DNA, dict(batch=400, seg=400, jump=390)
 
 # held-out simulation seeds: every training corpus must use different ones
 HOLDOUT_SEED_DNA = 991
@@ -90,22 +106,26 @@ def measure_real_dna(work: str, beam: int) -> dict:
     if not (os.path.isdir(raw) and os.path.isdir(golden)):
         return {"skipped": "reference example data absent"}
     out = os.path.join(work, "real_dna")
-    _call(_flags(raw, out, MODEL_DNA, beam=beam))
+    model_dir, kw = _slow_model()
+    _call(_flags(raw, out, model_dir, beam=beam, **kw))
     report = assess_dir(os.path.join(out, "result"), golden)
     s = report["summary"]
     s["per_read_identity"] = {
         name: round(r["identity"], 4) for name, r in sorted(report["reads"].items())
     }
+    s["model"] = os.path.basename(model_dir)
     return s
 
 
 def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
-                   n_bases: int, cfg=None, axis: str = "") -> dict:
+                   n_bases: int, cfg=None, axis: str = "",
+                   model_dir: str = None, call_kw: dict = None) -> dict:
     """Held-out simulated corpus -> basecall -> identity vs truth."""
     from chiron_tpu.tools.assess import assess_dir
     from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
 
-    model_dir = MODEL_DNA if mode == "dna" else MODEL_RNA
+    if model_dir is None:
+        model_dir = MODEL_DNA if mode == "dna" else MODEL_RNA
     pore_path = os.path.join(model_dir, "pore_model.tsv")
     pore = KmerModel.load(pore_path) if os.path.exists(pore_path) else (
         KmerModel.synthetic()
@@ -119,7 +139,9 @@ def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
     simulate_corpus(data, n_reads, n_bases, seed=seed, model=pore, cfg=cfg,
                     fasta=truth)
     out = os.path.join(work, f"{axis}_out")
-    if mode == "dna":
+    if call_kw is not None:
+        flags = _flags(data, out, model_dir, mode=mode, beam=beam, **call_kw)
+    elif mode == "dna":
         flags = _flags(data, out, model_dir, mode="dna", beam=beam)
     else:
         flags = _flags(data, out, model_dir, mode="rna", beam=beam,
@@ -169,13 +191,15 @@ def main(argv=None):
             # reads run at 22-26 samples/base (vs the 9 of synthetic_dna)
             from chiron_tpu.tools.simulate import SimConfig
 
+            slow_dir, slow_kw = _slow_model()
             out["synthetic_dna_slow"] = _measure_synth(
                 work, "dna", args.beam, max(2, n_reads // 2),
                 500 if args.quick else 2000,
                 cfg=SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7),
-                axis="synth_dna_slow")
+                axis="synth_dna_slow", model_dir=slow_dir, call_kw=slow_kw)
             out["synthetic_dna_slow"]["sim_config"] = (
                 "mean_dwell=24 max_dwell=140 noise_ar=0.7")
+            out["synthetic_dna_slow"]["model"] = os.path.basename(slow_dir)
             print(f"synthetic_dna_slow identity: "
                   f"{out['synthetic_dna_slow']['identity']:.4f}")
         if "synthetic_rna" not in skip:

@@ -68,6 +68,11 @@ def _lae(a, b):
 
 BEAM_CHUNK = 8
 
+# "exact" (default) | "stub": profiling-only knob that replaces the top-k
+# extract-max loop with a pass-through so its share of kernel latency can be
+# measured in isolation (see the beam-50 latency analysis in STATUS.md).
+_TOPK_MODE = "exact"
+
 
 def _beam_kernel(w, seg, nlab, chunk, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
@@ -191,19 +196,27 @@ def _beam_step(w, seg, nlab, t, j, lens_ref, lp_ref, trace_ref, state):
     # Iterative extract-max is inherently sequential but each iteration is
     # only ~5 ops over sublane trees; all state gathering is deferred to one
     # vectorized pass. w is static, so exactly w iterations are emitted.
-    idx_rows = []
-    live_rows = []
-    for k in range(w):
-        m = jnp.max(score, axis=0, keepdims=True)  # [1, TB]
-        idx = jnp.min(jnp.where(score >= m, cl, cand), axis=0, keepdims=True)
-        idx_rows.append(idx)
-        live_rows.append((m > _NEG / 2).astype(jnp.int32))  # i1 concat unsupported
-        score = jnp.where(cl == idx, _NEG, score)
-    if w < seg:  # inert tail slots
-        idx_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
-        live_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
-    idx_all = jnp.concatenate(idx_rows, axis=0)    # [seg, TB]
-    picked_live = jnp.concatenate(live_rows, axis=0) > 0  # [seg, TB]
+    if _TOPK_MODE == "stub":
+        # PROFILING ONLY (never semantically valid): slot k takes candidate
+        # k verbatim. Isolates the extract-max loop's cost so the on-chip
+        # floor of the REST of the kernel (merge, phase-2 gathers,
+        # traceback) can be measured — the beam-50 latency analysis.
+        idx_all = row
+        picked_live = live
+    else:
+        idx_rows = []
+        live_rows = []
+        for k in range(w):
+            m = jnp.max(score, axis=0, keepdims=True)  # [1, TB]
+            idx = jnp.min(jnp.where(score >= m, cl, cand), axis=0, keepdims=True)
+            idx_rows.append(idx)
+            live_rows.append((m > _NEG / 2).astype(jnp.int32))  # i1 concat unsupported
+            score = jnp.where(cl == idx, _NEG, score)
+        if w < seg:  # inert tail slots
+            idx_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
+            live_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
+        idx_all = jnp.concatenate(idx_rows, axis=0)    # [seg, TB]
+        picked_live = jnp.concatenate(live_rows, axis=0) > 0  # [seg, TB]
 
     # ---- top-k phase 2: beam-domain one-hot gathers --------------------
     # Each slot's (parent, char) come straight from phase 1; every state

@@ -343,7 +343,8 @@ def stage_finetune(work: str, mode: str, max_steps: int,
     ``warm_start`` overrides the source checkpoint dir (e.g. a previous
     fine-tune's output for bootstrap rounds).
     """
-    name = "DNA_default" if mode == "dna" else "RNA_default"
+    name = {"dna": "DNA_default", "rna": "RNA_default",
+            "dna_slow": "DNA_slow"}[mode]
     src = warm_start or os.path.join(REPO, "chiron_tpu", "model", name)
     dst = os.path.join(work, "models", f"{mode.upper()}_retrain")
     os.makedirs(dst, exist_ok=True)

@@ -1,0 +1,74 @@
+"""On-chip beam-kernel latency attribution (VERDICT r3 #7 analysis).
+
+Times beam_search_pallas ALONE (no forward model) on random logits at the
+bench shape (B=400, T=400, 5 classes) for beam widths 30/50, with the
+extract-max top-k loop in place ("exact") and replaced by a pass-through
+("stub", ops/pallas/beam.py:_TOPK_MODE). The stub run is the empirical
+floor of the rest of the kernel (merge + phase-2 gathers + traceback): if
+it already exceeds the 10 ms target, no top-k algorithm can reach it.
+
+Timing discipline (CLAUDE.md): block_until_ready does not block on the
+axon backend; every timing forces one host readback of a 1-element slice,
+and per-iteration dispatch is amortized by timing N chained steps.
+
+Usage: timeout 1200 python tools_dev/beam_profile.py [--widths 30,50]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def time_variant(width: int, mode: str, iters: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from chiron_tpu.ops.pallas import beam as B
+
+    B._TOPK_MODE = mode
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(400, 400, 5).astype(np.float32))
+    lens = jnp.full(400, 400, jnp.int32)
+
+    @jax.jit
+    def run_chain(lg, n):
+        # n sequential kernel runs inside ONE program; one scalar out so a
+        # single readback forces the whole chain (the tunnel's ~27ms
+        # readback latency is paid once, amortized over n)
+        def body(i, carry):
+            d, l, s = B.beam_search_pallas(
+                lg + carry * 1e-9, lens, beam_width=width
+            )
+            return s.sum() + l.sum().astype(jnp.float32) + d[0, 0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    _ = float(run_chain(logits, 2))  # warm-up + compile
+    t0 = time.time()
+    _ = float(run_chain(logits, iters))
+    base = time.time() - t0
+    t0 = time.time()
+    _ = float(run_chain(logits, 2 * iters))
+    double = time.time() - t0
+    # slope removes the fixed dispatch+readback overhead
+    return (double - base) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--widths", default="30,50")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+    for w in [int(x) for x in args.widths.split(",")]:
+        exact = time_variant(w, "exact", args.iters)
+        stub = time_variant(w, "stub", args.iters)
+        print(f"beam{w}: exact {exact * 1e3:.2f} ms  stub(no-topk) "
+              f"{stub * 1e3:.2f} ms  topk-share {(exact - stub) * 1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
