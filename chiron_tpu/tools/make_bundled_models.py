@@ -186,7 +186,8 @@ def _read_logits(params, cfg, signal, batch: int = 400):
 
 
 def stage_realdata(work: str, repeats: int = 8,
-                   align_model: str = None) -> None:
+                   align_model: str = None,
+                   rep_stride_labels: int = 3) -> None:
     """Bootstrap-label the reference's real DNA reads and build a mixed
     fine-tuning corpus (the round-3 real-signal adaptation stage).
 
@@ -260,7 +261,8 @@ def stage_realdata(work: str, repeats: int = 8,
             for k, b in enumerate(seq)
         ]
         for r in range(repeats):
-            # each rep drops r*3 leading labels so its windows are cut at
+            # each rep drops r*rep_stride_labels leading labels so its
+            # windows are cut at
             # DIFFERENT phases: identical copies let the trainer memorise
             # one fixed window set of the tiny real corpus instead of
             # learning translation-invariant structure (the same idea as
@@ -270,7 +272,8 @@ def stage_realdata(work: str, repeats: int = 8,
             with open(prefix + ".signal", "w") as f:
                 f.write(sig_text + "\n")
             with open(prefix + ".label", "w") as f:
-                f.write("\n".join(row_list[r * 3:]) + "\n")
+                f.write("\n".join(row_list[r * rep_stride_labels:])
+                        + "\n")
         print(f"{name}: {len(sig)} samples, {len(seq)} bases, "
               f"dwell {len(sig) / len(seq):.1f}, x{repeats}")
 
@@ -402,6 +405,10 @@ def main(argv=None) -> int:
                    help="train corpus subdir under --work (e.g. train_realmix)")
     p.add_argument("--valid_sub", default=None,
                    help="validation corpus subdir under --work")
+    p.add_argument("--rep_stride_labels", type=int, default=3,
+                   help="realdata: leading labels dropped per oversampling "
+                        "rep (phase-shifted window cuts); use ~10 for "
+                        "seg-2000 training so the shifts span the window")
     p.add_argument("--align_model", default=None,
                    help="realdata: refine DTW labels by CTC forced "
                         "alignment through this checkpoint dir's model")
@@ -414,7 +421,8 @@ def main(argv=None) -> int:
     elif args.stage == "data_slow":
         stage_data_slow(args.work)
     elif args.stage == "realdata":
-        stage_realdata(args.work, align_model=args.align_model)
+        stage_realdata(args.work, align_model=args.align_model,
+                       rep_stride_labels=args.rep_stride_labels)
     elif args.stage == "train":
         _train(args.work, args.mode, args.max_steps,
                step_rate=args.step_rate or 4e-3,
