@@ -332,7 +332,26 @@ def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
             configure=os.path.join(REPO, "chiron_tpu", "model", "RNA_default",
                                    "model.json"),
         )
-    train(h)
+    result = train(h)
+    # The axon remote-TPU client pins one uploaded batch per step on the
+    # host (see train/loop.py max_rss_gb); when the loop bails at the RSS
+    # limit, continue the schedule in FRESH processes until done.
+    while result.get("restart"):
+        import subprocess
+
+        cmd = [sys.executable, "-m", "chiron_tpu.tools.make_bundled_models",
+               "--stage", "train", "--mode", mode, "--work", work,
+               "--max_steps", str(max_steps), "--step_rate", str(step_rate),
+               "--retrain"]
+        if train_sub:
+            cmd += ["--train_sub", train_sub]
+        if valid_sub:
+            cmd += ["--valid_sub", valid_sub]
+        print(f"restarting at step {result['step']}: {' '.join(cmd[2:])}")
+        code = subprocess.call(cmd)
+        if code != 0:
+            raise RuntimeError(f"restarted trainer exited {code}")
+        return  # the child (chain) ran to completion
 
 
 def stage_finetune(work: str, mode: str, max_steps: int,
@@ -405,6 +424,9 @@ def main(argv=None) -> int:
                    help="train corpus subdir under --work (e.g. train_realmix)")
     p.add_argument("--valid_sub", default=None,
                    help="validation corpus subdir under --work")
+    p.add_argument("--retrain", action="store_true",
+                   help="train: resume from the latest rolling checkpoint "
+                        "(e.g. after an interrupted run)")
     p.add_argument("--rep_stride_labels", type=int, default=3,
                    help="realdata: leading labels dropped per oversampling "
                         "rep (phase-shifted window cuts); use ~10 for "
@@ -425,6 +447,7 @@ def main(argv=None) -> int:
                        rep_stride_labels=args.rep_stride_labels)
     elif args.stage == "train":
         _train(args.work, args.mode, args.max_steps,
+               retrain=args.retrain,
                step_rate=args.step_rate or 4e-3,
                train_sub=args.train_sub, valid_sub=args.valid_sub)
     elif args.stage == "finetune":

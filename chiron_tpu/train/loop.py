@@ -383,6 +383,21 @@ def train(hparams) -> Dict[str, Any]:
     step_fn = make_train_step(config, tx, float(config.get("fl_gamma", 0)))
     eval_fn = make_eval_step(config)
 
+    # Host-RSS guard: the axon remote-TPU client pins every uploaded host
+    # buffer for the life of the process (measured: exactly one batch of
+    # bytes leaked per step, with/without explicit Array.delete, via
+    # device_put or numpy-staged args alike — a client-side pin, not a
+    # framework leak; the CPU backend is flat). Long runs on that backend
+    # would otherwise die by OOM-kill mid-schedule (observed at 130 GB /
+    # 28k steps). When RSS crosses the limit the loop checkpoints and
+    # returns restart=True so a wrapper can relaunch with --retrain.
+    max_rss_gb = float(getattr(hparams, "max_rss_gb", 0) or 64.0)
+
+    def _rss_gb() -> float:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
     metrics_path = os.path.join(model_dir, "metrics.jsonl")
     lr_schedule = make_lr_schedule(hparams.step_rate, hparams.max_steps)
     save_every = int(getattr(hparams, "save_every", 10))
@@ -453,6 +468,18 @@ def train(hparams) -> Dict[str, Any]:
                         "seconds_per_step": dt / save_every,
                     }) + "\n")
             t0 = time.time()
+            if max_rss_gb and _rss_gb() > max_rss_gb:
+                # checkpoint state is already on disk (save above); save
+                # the EMA too so even an un-resumed run has usable weights
+                if is_writer:
+                    save_checkpoint(model_dir, ema_params, i + 1,
+                                    prefix="rss-ema")
+                print(f"RSS {_rss_gb():.1f} GB > {max_rss_gb} GB limit "
+                      f"(axon client buffer pinning) at step {i + 1}; "
+                      f"exiting for --retrain restart")
+                return {"final_loss": last_loss, "losses": losses,
+                        "model_dir": model_dir, "restart": True,
+                        "step": i + 1}
     # final checkpoint includes the EMA weights separately
     if is_writer:
         save_checkpoint(model_dir, ema_params, hparams.max_steps, prefix="ema")

@@ -284,3 +284,36 @@ def test_call_pipeline_methylation_alphabet(tmp_path):
         ).read()
         lines = content.splitlines()
         assert set(lines[1]) <= set("ACGTX")
+
+
+def test_cli_dna_slow_preset_routing(tmp_path, monkeypatch):
+    """dna-slow-pre selects the DNA_slow bundled model + seg-2000 windows
+    when the user did not pick a model explicitly; an explicit -m wins."""
+    from chiron_tpu import cli
+    from chiron_tpu.eval import pipeline as pipe
+
+    captured = {}
+
+    def fake_run(args):
+        captured.update(vars(args))
+        return {}
+
+    monkeypatch.setattr(pipe, "run", fake_run)
+    monkeypatch.setattr(cli, "extract", lambda a: None, raising=False)
+    fake_in = os.path.join(str(tmp_path), "nope.signal")
+    open(fake_in, "w").write("1 2 3\n")
+    cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o"),
+              "-p", "dna-slow-pre"])
+    assert captured["segment_len"] == 2000 and captured["jump"] == 1900
+    assert captured["model"].endswith(os.path.join("model", "DNA_slow"))
+    # explicit model is preserved
+    captured.clear()
+    cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o2"),
+              "-p", "dna-slow-pre", "-m", str(tmp_path)])
+    assert captured["model"] == str(tmp_path)
+    # rna mode + dna-slow preset is rejected (reference error-message style)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o3"),
+                  "-p", "dna-slow-pre", "--mode", "rna"])

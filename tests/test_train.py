@@ -197,3 +197,27 @@ def test_checkpoint_rolling_window(tmp_path):
     assert kept == [f"model-{s}.npz" for s in range(4, 9)]
     assert os.path.exists(os.path.join(d, "ema-0.npz"))
     assert latest_checkpoint(d).endswith("model-8.npz")
+
+
+def test_rss_guard_checkpoints_and_requests_restart(tmp_path):
+    """With a tiny max_rss_gb the loop must checkpoint, write an rss-ema
+    snapshot, and return restart=True at the first save point instead of
+    running to max_steps (axon-client buffer-pinning mitigation)."""
+    from chiron_tpu.train.loop import train
+
+    make_training_dir(os.path.join(str(tmp_path), "train"), n_files=2,
+                      n_bases=120, seed=0)
+    h = _hparams(tmp_path, configure=_tiny_config(tmp_path),
+                 max_rss_gb=0.001, max_steps=200)
+    result = train(h)
+    assert result["restart"] is True
+    assert result["step"] == 20  # first save point (save_every=20)
+    model_dir = result["model_dir"]
+    names = os.listdir(model_dir)
+    assert any(n.startswith("model-20") for n in names)
+    assert any(n.startswith("rss-ema-20") for n in names)
+    # and a retrain resumes from the guard checkpoint
+    h2 = _hparams(tmp_path, configure=_tiny_config(tmp_path),
+                  max_steps=40, retrain=True)
+    result2 = train(h2)
+    assert "restart" not in result2
