@@ -123,6 +123,13 @@ def _make_rna_front(kw: int, stride: int):
 
 CNN_ZOO["rna_model2"] = _make_rna_front(kw=9, stride=5)
 CNN_ZOO["rna_model3"] = _make_rna_front(kw=14, stride=7)
+# framework extension (no reference counterpart): the DNA slow-translocation
+# front. Stride 4 instead of rna_model2's 5 because sub-stride dwells delete
+# bases structurally — two base transitions inside one output frame leave
+# CTC only one emittable label; at mean dwell 24 (geometric, min 2),
+# P(dwell < 5) ~ 0.11 matched the measured 0.10-0.12 deletion rate of a
+# stride-5 model, while P(dwell < 4) ~ 0.085.
+CNN_ZOO["slow_model1"] = _make_rna_front(kw=8, stride=4)
 
 
 # -- rna_test: 5x residual(256) (chiron/cnn.py:555-566) ---------------------

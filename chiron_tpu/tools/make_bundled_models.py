@@ -290,7 +290,8 @@ def stage_realdata(work: str, repeats: int = 8,
 
 def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
            step_rate: float = 4e-3, train_sub: str = None,
-           valid_sub: str = None) -> None:
+           valid_sub: str = None, configure: str = None,
+           model_name: str = None) -> None:
     from chiron_tpu.train.loop import train
 
     if mode == "dna":
@@ -332,6 +333,10 @@ def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
             configure=os.path.join(REPO, "chiron_tpu", "model", "RNA_default",
                                    "model.json"),
         )
+    if configure:
+        h.configure = configure
+    if model_name:
+        h.model_name = model_name
     result = train(h)
     # The axon remote-TPU client pins one uploaded batch per step on the
     # host (see train/loop.py max_rss_gb); when the loop bails at the RSS
@@ -347,6 +352,10 @@ def _train(work: str, mode: str, max_steps: int, retrain: bool = False,
             cmd += ["--train_sub", train_sub]
         if valid_sub:
             cmd += ["--valid_sub", valid_sub]
+        if configure:
+            cmd += ["--configure", configure]
+        if model_name:
+            cmd += ["--model_name", model_name]
         print(f"restarting at step {result['step']}: {' '.join(cmd[2:])}")
         code = subprocess.call(cmd)
         if code != 0:
@@ -424,6 +433,10 @@ def main(argv=None) -> int:
                    help="train corpus subdir under --work (e.g. train_realmix)")
     p.add_argument("--valid_sub", default=None,
                    help="validation corpus subdir under --work")
+    p.add_argument("--configure", default=None,
+                   help="train: model config json overriding the mode default")
+    p.add_argument("--model_name", default=None,
+                   help="train: output dir name under <work>/models")
     p.add_argument("--retrain", action="store_true",
                    help="train: resume from the latest rolling checkpoint "
                         "(e.g. after an interrupted run)")
@@ -449,7 +462,8 @@ def main(argv=None) -> int:
         _train(args.work, args.mode, args.max_steps,
                retrain=args.retrain,
                step_rate=args.step_rate or 4e-3,
-               train_sub=args.train_sub, valid_sub=args.valid_sub)
+               train_sub=args.train_sub, valid_sub=args.valid_sub,
+               configure=args.configure, model_name=args.model_name)
     elif args.stage == "finetune":
         stage_finetune(args.work, args.mode, args.max_steps,
                        step_rate=args.step_rate or 2e-3,
