@@ -53,3 +53,50 @@ def test_bundled_dna_accuracy_floor(tmp_path):
         f"bundled-model kmer11 hit rate {kmer11:.4f} fell below the "
         f"{KMER11_FLOOR} smoke floor — output is drifting toward noise"
     )
+
+
+MODEL_SLOW = os.path.join(REPO, "chiron_tpu", "model", "DNA_slow")
+
+SLOW_IDENTITY_FLOOR = 0.62
+SLOW_KMER11_FLOOR = 0.03
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(MODEL_SLOW, "checkpoint")),
+    reason="DNA_slow checkpoint absent",
+)
+def test_bundled_slow_accuracy_floor(tmp_path):
+    """Slow-translocation smoke: DNA_slow at seg 2000 on dwell-24 AR-noise
+    holdout signal must hold identity AND kmer11 floors (greedy, CI-scale).
+    Committed values at round 4: identity ~0.70 / kmer11 ~0.05 greedy —
+    floors sit ~12% and ~40% under (kmer11 is the high-variance one at
+    3-read scale)."""
+    from chiron_tpu.eval.pipeline import evaluation
+    from chiron_tpu.tools.assess import assess_dir
+    from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
+
+    pore = KmerModel.load(os.path.join(MODEL_SLOW, "pore_model.tsv"))
+    data = os.path.join(str(tmp_path), "data")
+    truth = os.path.join(str(tmp_path), "truth.fasta")
+    # seed 991 is accuracy.py's reserved DNA holdout — never trained on
+    simulate_corpus(data, 3, 1000, seed=991, model=pore,
+                    cfg=SimConfig(mean_dwell=24.0, max_dwell=140,
+                                  noise_ar=0.7),
+                    fasta=truth)
+    out = os.path.join(str(tmp_path), "out")
+    flags = types.SimpleNamespace(
+        input=data, output=out, model=MODEL_SLOW,
+        start=0, batch_size=32, segment_len=2000, jump=1900, threads=0,
+        beam=0, extension="fasta", concise=False, mode="dna",
+        reverse_fast5=False, recursive=False, sig_norm=1,
+    )
+    evaluation(flags)
+    report = assess_dir(os.path.join(out, "result"), truth)
+    identity = report["summary"]["identity"]
+    kmer11 = report["summary"]["kmer11_hit_rate"]
+    assert identity >= SLOW_IDENTITY_FLOOR, (
+        f"DNA_slow identity {identity:.3f} below {SLOW_IDENTITY_FLOOR}"
+    )
+    assert kmer11 >= SLOW_KMER11_FLOOR, (
+        f"DNA_slow kmer11 {kmer11:.4f} below {SLOW_KMER11_FLOOR}"
+    )
