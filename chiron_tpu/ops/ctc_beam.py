@@ -50,6 +50,7 @@ def beam_search_decode(
     logits: jnp.ndarray,
     seq_lengths: jnp.ndarray,
     beam_width: int = 30,
+    length_bonus: float = 0.0,
 ):
     """CTC prefix beam search over a batch.
 
@@ -58,6 +59,12 @@ def beam_search_decode(
         matching tf.nn.ctc_beam_search_decoder).
       seq_lengths: [B] valid frame counts.
       beam_width: number of beams kept per step.
+      length_bonus: additive log-score per emitted label. CTC basecallers
+        systematically under-emit short-dwell bases (measured deletion
+        0.10-0.11 vs insertion 0.02-0.03 on the bundled models); a small
+        positive bonus rebalances the operating point, like the word
+        insertion bonus of classical ASR decoders. 0.0 = exact
+        tf.nn.ctc_beam_search_decoder semantics (the reference's decoder).
     Returns:
       decoded: [B, T] int32 best-path labels front-packed, -1 padded.
       lengths: [B] int32 decoded lengths.
@@ -100,7 +107,7 @@ def beam_search_decode(
         lp_ext = lp_cur[:, :nlab, None]  # [B, nlab, 1]
         same_as_last = jnp.arange(nlab)[None, :, None] == last[:, None, :]
         base = jnp.where(same_as_last, p_b[:, None, :], _logaddexp(p_b, p_nb)[:, None, :])
-        ext_pnb = lp_ext + base  # [B, nlab, W]
+        ext_pnb = lp_ext + base + length_bonus  # [B, nlab, W]
 
         ext_h1 = h1[:, None, :] * _H1_MULT + jnp.arange(1, nlab + 1, dtype=jnp.uint32)[None, :, None]
         ext_h2 = h2[:, None, :] * _H2_MULT + jnp.arange(1, nlab + 1, dtype=jnp.uint32)[None, :, None]

@@ -74,7 +74,7 @@ BEAM_CHUNK = 8
 _TOPK_MODE = "exact"
 
 
-def _beam_kernel(w, seg, nlab, chunk, lens_ref, lp_ref, trace_ref,
+def _beam_kernel(w, seg, nlab, chunk, bonus, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
     """``chunk`` search steps per grid iteration.
 
@@ -102,12 +102,12 @@ def _beam_kernel(w, seg, nlab, chunk, lens_ref, lp_ref, trace_ref,
     state = (pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:],
              ph2_s[:])
     for j in range(chunk):
-        state = _beam_step(w, seg, nlab, tc * chunk + j, j, lens_ref, lp_ref,
-                           trace_ref, state)
+        state = _beam_step(w, seg, nlab, bonus, tc * chunk + j, j,
+                           lens_ref, lp_ref, trace_ref, state)
     pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:], ph2_s[:] = state
 
 
-def _beam_step(w, seg, nlab, t, j, lens_ref, lp_ref, trace_ref, state):
+def _beam_step(w, seg, nlab, bonus, t, j, lens_ref, lp_ref, trace_ref, state):
     pb, pnb, h1, h2, last, ph1, ph2 = state
     tb = pb.shape[1]
     cand = seg * (nlab + 1)
@@ -130,7 +130,7 @@ def _beam_step(w, seg, nlab, t, j, lens_ref, lp_ref, trace_ref, state):
     ext_pnb = []
     for c in range(nlab):
         base = jnp.where(last == c, pb, pb_or_pnb)
-        e = lp[c:c + 1] + base
+        e = lp[c:c + 1] + base + bonus
         ext_pnb.append(jnp.where(live, e, _NEG))
 
     # ---- merge extends into equal-hash stays (prefix-hash, [seg x seg]) --
@@ -170,7 +170,9 @@ def _beam_step(w, seg, nlab, t, j, lens_ref, lp_ref, trace_ref, state):
     )
     raw_y = jnp.sum(jnp.where(eq, base_xy, 0.0), axis=0)       # [seg, TB]
     any_y = jnp.any(eq, axis=0)                                # [seg, TB]
-    merged_total = jnp.where(any_y, lp_y + raw_y, _NEG)
+    # bonus: the merged mass is an EXTEND's value (lp + base + bonus), same
+    # as ext_pnb above — the XLA twin adds the bonus before merging too
+    merged_total = jnp.where(any_y, lp_y + raw_y + bonus, _NEG)
     # extend (X, c) is killed iff it merged into some stay with last == c;
     # bit c of the per-X merge mask records that in one [seg,seg,TB] pass
     bits_x = jnp.sum(
@@ -252,7 +254,7 @@ def _beam_step(w, seg, nlab, t, j, lens_ref, lp_ref, trace_ref, state):
     lp_c = jnp.full((seg, tb), 0.0)
     for c in range(nlab):
         lp_c = jnp.where(chars == c, lp[c:c + 1], lp_c)
-    ext_val = lp_c + jnp.where(p_last == chars, p_pb, p_pon)
+    ext_val = lp_c + jnp.where(p_last == chars, p_pb, p_pon) + bonus
 
     garbage1 = (t * 131 + kcol) * 7919 + 1000003
     garbage2 = (t * 131 + kcol) * 104729 + 666
@@ -324,7 +326,8 @@ def _traceback_kernel(seg, best_ref, trace_in_ref, out_ref, w_scr):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beam_width", "batch_tile", "interpret")
+    jax.jit,
+    static_argnames=("beam_width", "batch_tile", "interpret", "length_bonus"),
 )
 def beam_search_pallas(
     logits: jnp.ndarray,
@@ -332,8 +335,14 @@ def beam_search_pallas(
     beam_width: int = 30,
     batch_tile: int = 128,
     interpret: bool = False,
+    length_bonus: float = 0.0,
 ):
     """Drop-in replacement for ops.ctc_beam.beam_search_decode on TPU.
+
+    ``length_bonus``: additive log-score per emitted label (see
+    ops/ctc_beam.py — the ASR word-insertion-bonus analog for rebalancing
+    the deletion-heavy CTC operating point); 0.0 = exact reference
+    semantics.
 
     Returns (decoded [B,T] int32 -1-padded, lengths [B], log_prob [B]).
     """
@@ -360,7 +369,8 @@ def beam_search_pallas(
     n_tiles = bp // batch_tile
 
     (pb, pnb, trace) = pl.pallas_call(
-        functools.partial(_beam_wrapper, beam_width, seg, nlab, BEAM_CHUNK),
+        functools.partial(_beam_wrapper, beam_width, seg, nlab, BEAM_CHUNK,
+                          float(length_bonus)),
         grid=(n_tiles, t_pad // BEAM_CHUNK),
         in_specs=[
             pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
@@ -436,9 +446,10 @@ def beam_search_pallas(
     return decoded, lengths, log_prob[:bsz]
 
 
-def _beam_wrapper(w, seg, nlab, chunk, lens_ref, lp_ref, pb_out, pnb_out,
-                  trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
-    _beam_kernel(w, seg, nlab, chunk, lens_ref, lp_ref, trace_ref,
+def _beam_wrapper(w, seg, nlab, chunk, bonus, lens_ref, lp_ref, pb_out,
+                  pnb_out, trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s,
+                  ph1_s, ph2_s):
+    _beam_kernel(w, seg, nlab, chunk, bonus, lens_ref, lp_ref, trace_ref,
                  pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]

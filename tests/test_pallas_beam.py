@@ -90,3 +90,26 @@ def test_pallas_beam_batch_tiling():
     )
     np.testing.assert_array_equal(np.asarray(dec1), np.asarray(dec2))
     np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2), rtol=1e-5)
+
+
+@pytest.mark.parametrize("bonus", [0.7, 1.5])
+def test_pallas_beam_length_bonus_matches_xla(bonus):
+    """The length-bonus knob (deletion/insertion rebalancing) must stay in
+    exact parity between the Pallas kernel and the XLA twin, including the
+    merge path (the bonus enters merged extend mass on both sides)."""
+    rng = np.random.RandomState(7)
+    b, t = 4, 12
+    logits = rng.randn(b, t, 5).astype(np.float32) * 2
+    sl = jnp.asarray([t, t, 8, 3])
+    dec_x, len_x, lp_x = beam_search_decode(
+        jnp.asarray(logits), sl, beam_width=8, length_bonus=bonus)
+    dec_p, len_p, lp_p = beam_search_pallas(
+        jnp.asarray(logits), sl, beam_width=8, batch_tile=8, interpret=True,
+        length_bonus=bonus)
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_p))
+    np.testing.assert_array_equal(np.asarray(dec_x), np.asarray(dec_p))
+    np.testing.assert_allclose(np.asarray(lp_x), np.asarray(lp_p),
+                               rtol=1e-4, atol=1e-4)
+    # a positive bonus must not shorten decodes vs bonus 0
+    _, len0, _ = beam_search_decode(jnp.asarray(logits), sl, beam_width=8)
+    assert (np.asarray(len_p) >= np.asarray(len0)).all()
