@@ -100,3 +100,45 @@ def test_bundled_slow_accuracy_floor(tmp_path):
     assert kmer11 >= SLOW_KMER11_FLOOR, (
         f"DNA_slow kmer11 {kmer11:.4f} below {SLOW_KMER11_FLOOR}"
     )
+
+
+MODEL_RNA = os.path.join(REPO, "chiron_tpu", "model", "RNA_default")
+
+RNA_IDENTITY_FLOOR = 0.60
+RNA_KMER11_FLOOR = 0.02
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(MODEL_RNA, "checkpoint")),
+    reason="RNA model absent",
+)
+def test_bundled_rna_accuracy_floor(tmp_path):
+    """RNA smoke (added when the stride-5 retrain landed, round 4):
+    committed greedy values identity ~0.67 / kmer11 ~0.042 — floors ~10%
+    and ~50% under (kmer11 variance at 2-read scale)."""
+    from chiron_tpu.eval.pipeline import evaluation
+    from chiron_tpu.tools.assess import assess_dir
+    from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
+
+    data = os.path.join(str(tmp_path), "data")
+    truth = os.path.join(str(tmp_path), "truth.fasta")
+    # seed 992 is accuracy.py's reserved RNA holdout — never trained on
+    simulate_corpus(data, 2, 1000, seed=992, model=KmerModel.synthetic(),
+                    cfg=SimConfig.rna(), fasta=truth)
+    out = os.path.join(str(tmp_path), "out")
+    flags = types.SimpleNamespace(
+        input=data, output=out, model=MODEL_RNA,
+        start=0, batch_size=32, segment_len=2000, jump=1900, threads=0,
+        beam=0, extension="fasta", concise=False, mode="rna",
+        reverse_fast5=False, recursive=False, sig_norm=1,
+    )
+    evaluation(flags)
+    report = assess_dir(os.path.join(out, "result"), truth)
+    identity = report["summary"]["identity"]
+    kmer11 = report["summary"]["kmer11_hit_rate"]
+    assert identity >= RNA_IDENTITY_FLOOR, (
+        f"RNA identity {identity:.3f} below {RNA_IDENTITY_FLOOR}"
+    )
+    assert kmer11 >= RNA_KMER11_FLOOR, (
+        f"RNA kmer11 {kmer11:.4f} below {RNA_KMER11_FLOOR}"
+    )
