@@ -18,11 +18,12 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MODEL_DNA = os.path.join(REPO, "chiron_tpu", "model", "DNA_default")
 
-# tightened round 4 (VERDICT r3 weak #2: floors must track committed
-# values minus a small margin). Smoke-config measured values (greedy,
-# 3x1000 bases, batch 32): identity ~0.70, kmer11 ~0.05.
-IDENTITY_FLOOR = 0.64
-KMER11_FLOOR = 0.028
+# tightened round 4 (VERDICT r3 weak #2: floors track committed values
+# minus a small margin). Smoke-config measured values after the round-4
+# fast-regime continuation (greedy, CI-scale): identity ~0.74, kmer11
+# ~0.085; committed beam-30 axis 0.754 / 0.080.
+IDENTITY_FLOOR = 0.67
+KMER11_FLOOR = 0.045
 
 
 @pytest.mark.skipif(not os.path.isdir(MODEL_DNA), reason="bundled model absent")
