@@ -108,7 +108,7 @@ def main():
         # (VERDICT r2 weak #7); this one is pure device throughput
         "device_samples_per_second_batch2000": _device_throughput(model_dir),
     }
-    # the slow-translocation flagship (stride-5 front, seg 2000): same
+    # the slow-translocation flagship (stride-4 front, seg 2000): same
     # 800k samples/step at batch 400, so the two device numbers are
     # directly comparable (VERDICT r3 next #8)
     slow_dir = os.path.join(os.path.dirname(BUNDLED_MODEL), "DNA_slow")

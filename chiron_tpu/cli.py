@@ -41,12 +41,11 @@ def evaluation(args):
         default_p = PRESETS["dna-slow-pre"]
         if args.mode == "rna":
             raise ValueError("Try to use the DNA preset parameter setting in RNA mode.")
-        default_model = path.join(
-            path.abspath(path.dirname(__file__)), "model", "DNA_default"
-        )
-        if args.model == default_model:
+        if args.model is None:
             # the slow preset implies the slow-regime bundled model unless
-            # the user picked one explicitly
+            # the user picked one explicitly; -m defaults to None so an
+            # explicit -m <DNA_default dir> is distinguishable from the
+            # unset default (ADVICE r4 #4)
             args.model = path.join(
                 path.abspath(path.dirname(__file__)), "model", "DNA_slow"
             )
@@ -59,6 +58,10 @@ def evaluation(args):
             )
     else:
         raise ValueError(f"Unknown presetting {args.preset} undifiend")
+    if args.model is None:
+        args.model = path.join(
+            path.abspath(path.dirname(__file__)), "model", "DNA_default"
+        )
     args = _set_paras(args, default_p)
     args.input_dir = args.input
     args.output_dir = args.output
@@ -100,9 +103,6 @@ def main(arguments=None):
         help="Print out the version.",
     )
     subparsers = parser.add_subparsers(title="sub command", help="sub command help")
-    model_default_path = path.join(
-        path.abspath(path.dirname(__file__)), "model", "DNA_default"
-    )
 
     # ---- call ------------------------------------------------------------
     parser_call = subparsers.add_parser(
@@ -111,8 +111,10 @@ def main(arguments=None):
     parser_call.add_argument("-i", "--input", required=True,
                              help="File path or Folder path to the fast5 file.")
     parser_call.add_argument("-o", "--output", required=True, help="Output folder path")
-    parser_call.add_argument("-m", "--model", type=str, default=model_default_path,
-                             help="model folder path")
+    parser_call.add_argument("-m", "--model", type=str, default=None,
+                             help="model folder path (default: the bundled "
+                                  "DNA_default; the dna-slow-pre preset "
+                                  "defaults to DNA_slow)")
     parser_call.add_argument("-s", "--start", type=int, default=None,
                              help="Start index of the signal file.")
     parser_call.add_argument("-b", "--batch_size", type=int, default=None,

@@ -68,14 +68,9 @@ def _lae(a, b):
 
 BEAM_CHUNK = 8
 
-# "exact" (default) | "stub": profiling-only knob that replaces the top-k
-# extract-max loop with a pass-through so its share of kernel latency can be
-# measured in isolation (see the beam-50 latency analysis in STATUS.md).
-_TOPK_MODE = "exact"
 
-
-def _beam_kernel(w, seg, nlab, chunk, bonus, lens_ref, lp_ref, trace_ref,
-                 pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
+def _beam_kernel(w, seg, nlab, chunk, bonus, topk_mode, lens_ref, lp_ref,
+                 trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
     """``chunk`` search steps per grid iteration.
 
     Chunking the time axis amortises the per-grid-step bookkeeping and
@@ -102,12 +97,13 @@ def _beam_kernel(w, seg, nlab, chunk, bonus, lens_ref, lp_ref, trace_ref,
     state = (pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:],
              ph2_s[:])
     for j in range(chunk):
-        state = _beam_step(w, seg, nlab, bonus, tc * chunk + j, j,
+        state = _beam_step(w, seg, nlab, bonus, topk_mode, tc * chunk + j, j,
                            lens_ref, lp_ref, trace_ref, state)
     pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:], ph2_s[:] = state
 
 
-def _beam_step(w, seg, nlab, bonus, t, j, lens_ref, lp_ref, trace_ref, state):
+def _beam_step(w, seg, nlab, bonus, topk_mode, t, j, lens_ref, lp_ref,
+               trace_ref, state):
     pb, pnb, h1, h2, last, ph1, ph2 = state
     tb = pb.shape[1]
     cand = seg * (nlab + 1)
@@ -198,7 +194,7 @@ def _beam_step(w, seg, nlab, bonus, t, j, lens_ref, lp_ref, trace_ref, state):
     # Iterative extract-max is inherently sequential but each iteration is
     # only ~5 ops over sublane trees; all state gathering is deferred to one
     # vectorized pass. w is static, so exactly w iterations are emitted.
-    if _TOPK_MODE == "stub":
+    if topk_mode == "stub":
         # PROFILING ONLY (never semantically valid): slot k takes candidate
         # k verbatim. Isolates the extract-max loop's cost so the on-chip
         # floor of the REST of the kernel (merge, phase-2 gathers,
@@ -327,7 +323,8 @@ def _traceback_kernel(seg, best_ref, trace_in_ref, out_ref, w_scr):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "batch_tile", "interpret", "length_bonus"),
+    static_argnames=("beam_width", "batch_tile", "interpret", "length_bonus",
+                     "topk_mode"),
 )
 def beam_search_pallas(
     logits: jnp.ndarray,
@@ -336,6 +333,7 @@ def beam_search_pallas(
     batch_tile: int = 128,
     interpret: bool = False,
     length_bonus: float = 0.0,
+    topk_mode: str = "exact",
 ):
     """Drop-in replacement for ops.ctc_beam.beam_search_decode on TPU.
 
@@ -343,6 +341,12 @@ def beam_search_pallas(
     ops/ctc_beam.py — the ASR word-insertion-bonus analog for rebalancing
     the deletion-heavy CTC operating point); 0.0 = exact reference
     semantics.
+
+    ``topk_mode``: "exact" (default) | "stub" — PROFILING ONLY: "stub"
+    replaces the top-k extract-max loop with a pass-through so its share
+    of kernel latency can be measured in isolation. A static jit arg (not
+    a module global) so each mode gets its own compiled program — a
+    global flag was silently ignored by the jit cache (ADVICE r4 #1).
 
     Returns (decoded [B,T] int32 -1-padded, lengths [B], log_prob [B]).
     """
@@ -370,7 +374,7 @@ def beam_search_pallas(
 
     (pb, pnb, trace) = pl.pallas_call(
         functools.partial(_beam_wrapper, beam_width, seg, nlab, BEAM_CHUNK,
-                          float(length_bonus)),
+                          float(length_bonus), topk_mode),
         grid=(n_tiles, t_pad // BEAM_CHUNK),
         in_specs=[
             pl.BlockSpec((8, batch_tile), lambda b, t: (0, b), memory_space=pltpu.VMEM),
@@ -446,11 +450,11 @@ def beam_search_pallas(
     return decoded, lengths, log_prob[:bsz]
 
 
-def _beam_wrapper(w, seg, nlab, chunk, bonus, lens_ref, lp_ref, pb_out,
-                  pnb_out, trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s,
-                  ph1_s, ph2_s):
-    _beam_kernel(w, seg, nlab, chunk, bonus, lens_ref, lp_ref, trace_ref,
-                 pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
+def _beam_wrapper(w, seg, nlab, chunk, bonus, topk_mode, lens_ref, lp_ref,
+                  pb_out, pnb_out, trace_ref, pb_s, pnb_s, h1_s, h2_s,
+                  last_s, ph1_s, ph2_s):
+    _beam_kernel(w, seg, nlab, chunk, bonus, topk_mode, lens_ref, lp_ref,
+                 trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]
     pnb_out[:] = pnb_s[:]

@@ -73,13 +73,20 @@ def _listify(node):
 
 def save_checkpoint(model_dir: str, params: Any, step: int,
                     prefix: str = "model",
-                    max_to_keep: Optional[int] = 5) -> str:
+                    max_to_keep: Optional[int] = 5,
+                    update_state: bool = True) -> str:
+    """``update_state=False`` writes the .npz without touching the
+    ``checkpoint`` pointer file — for side snapshots (EMA/rss-ema) that
+    must not hijack what restore_latest resumes from (ADVICE r4 #2: the
+    RSS-guard's rss-ema save was silently swapping raw params for EMA at
+    every --retrain restart boundary)."""
     os.makedirs(model_dir, exist_ok=True)
     params = jax.device_get(params)
     path = os.path.join(model_dir, f"{prefix}-{step}.npz")
     np.savez(path, **_flatten(params))
-    with open(os.path.join(model_dir, "checkpoint"), "w") as f:
-        f.write(f"{prefix}-{step}.npz\n")
+    if update_state:
+        with open(os.path.join(model_dir, "checkpoint"), "w") as f:
+            f.write(f"{prefix}-{step}.npz\n")
     if max_to_keep:
         # rolling window per prefix (tf.train.Saver max_to_keep parity);
         # other prefixes (ema/final) are never touched

@@ -472,17 +472,23 @@ def train(hparams) -> Dict[str, Any]:
                 # checkpoint state is already on disk (save above); save
                 # the EMA too so even an un-resumed run has usable weights
                 if is_writer:
+                    # update_state=False: the restart chain must resume
+                    # from the raw model-<step> params saved above, not
+                    # this EMA side snapshot (ADVICE r4 #2)
                     save_checkpoint(model_dir, ema_params, i + 1,
-                                    prefix="rss-ema")
+                                    prefix="rss-ema", update_state=False)
                 print(f"RSS {_rss_gb():.1f} GB > {max_rss_gb} GB limit "
                       f"(axon client buffer pinning) at step {i + 1}; "
                       f"exiting for --retrain restart")
                 return {"final_loss": last_loss, "losses": losses,
                         "model_dir": model_dir, "restart": True,
                         "step": i + 1}
-    # final checkpoint includes the EMA weights separately
+    # final checkpoint includes the EMA weights separately (side snapshot:
+    # the pointer must name the raw final params, even if the process dies
+    # between the two saves)
     if is_writer:
-        save_checkpoint(model_dir, ema_params, hparams.max_steps, prefix="ema")
+        save_checkpoint(model_dir, ema_params, hparams.max_steps, prefix="ema",
+                        update_state=False)
         save_checkpoint(model_dir, params, hparams.max_steps, prefix="final")
     return {"final_loss": last_loss, "losses": losses, "model_dir": model_dir}
 

@@ -311,6 +311,16 @@ def test_cli_dna_slow_preset_routing(tmp_path, monkeypatch):
     cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o2"),
               "-p", "dna-slow-pre", "-m", str(tmp_path)])
     assert captured["model"] == str(tmp_path)
+    # ADVICE r4: explicitly passing the DNA_default dir (e.g. to benchmark
+    # the fast model on slow windows) must NOT be rerouted to DNA_slow
+    import chiron_tpu as _pkg
+
+    dna_default = os.path.join(
+        os.path.dirname(os.path.abspath(_pkg.__file__)), "model", "DNA_default")
+    captured.clear()
+    cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o2b"),
+              "-p", "dna-slow-pre", "-m", dna_default])
+    assert captured["model"] == dna_default
     # rna mode + dna-slow preset is rejected (reference error-message style)
     import pytest as _pytest
 

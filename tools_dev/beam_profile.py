@@ -3,9 +3,16 @@
 Times beam_search_pallas ALONE (no forward model) on random logits at the
 bench shape (B=400, T=400, 5 classes) for beam widths 30/50, with the
 extract-max top-k loop in place ("exact") and replaced by a pass-through
-("stub", ops/pallas/beam.py:_TOPK_MODE). The stub run is the empirical
-floor of the rest of the kernel (merge + phase-2 gathers + traceback): if
-it already exceeds the 10 ms target, no top-k algorithm can reach it.
+("stub", the kernel's static ``topk_mode`` jit arg). The stub run is the
+empirical floor of the rest of the kernel (merge + phase-2 gathers +
+traceback): if it already exceeds the 10 ms target, no top-k algorithm can
+reach it.
+
+ADVICE r4 #1: the round-4 version toggled a module global after the exact
+run; jax.jit never saw the flip (not part of the cache key), so the stub
+numbers were a stale re-run of the exact program and the round-4
+"topk-share ~0 ms" attribution was a cache artifact. ``topk_mode`` is now
+a static_argnames parameter, so each mode compiles its own program.
 
 Timing discipline (CLAUDE.md): block_until_ready does not block on the
 axon backend; every timing forces one host readback of a 1-element slice,
@@ -14,6 +21,7 @@ and per-iteration dispatch is amortized by timing N chained steps.
 Usage: timeout 1200 python tools_dev/beam_profile.py [--widths 30,50]
 """
 import argparse
+import functools
 import sys
 import time
 
@@ -28,20 +36,20 @@ def time_variant(width: int, mode: str, iters: int = 20) -> float:
 
     from chiron_tpu.ops.pallas import beam as B
 
-    B._TOPK_MODE = mode
-
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(400, 400, 5).astype(np.float32))
     lens = jnp.full(400, 400, jnp.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("n",))
     def run_chain(lg, n):
         # n sequential kernel runs inside ONE program; one scalar out so a
         # single readback forces the whole chain (the tunnel's ~27ms
-        # readback latency is paid once, amortized over n)
+        # readback latency is paid once, amortized over n). topk_mode is a
+        # static arg of beam_search_pallas, so "exact" and "stub" compile
+        # distinct programs (ADVICE r4 #1).
         def body(i, carry):
             d, l, s = B.beam_search_pallas(
-                lg + carry * 1e-9, lens, beam_width=width
+                lg + carry * 1e-9, lens, beam_width=width, topk_mode=mode
             )
             return s.sum() + l.sum().astype(jnp.float32) + d[0, 0]
 
