@@ -119,8 +119,14 @@ def measure_real_dna(work: str, beam: int) -> dict:
 
 def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
                    n_bases: int, cfg=None, axis: str = "",
-                   model_dir: str = None, call_kw: dict = None) -> dict:
-    """Held-out simulated corpus -> basecall -> identity vs truth."""
+                   model_dir: str = None, call_kw: dict = None,
+                   oracle: bool = False) -> dict:
+    """Held-out simulated corpus -> basecall -> identity vs truth.
+
+    ``oracle=True`` additionally decodes the SAME corpus with the exact-
+    model Viterbi oracle (tools/oracle.py, VERDICT r4 #1) and attaches its
+    summary under "oracle" — the measured Bayes-style ceiling every model
+    number should be read against (CPU-only, ~minutes per axis)."""
     from chiron_tpu.tools.assess import assess_dir
     from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
 
@@ -152,6 +158,13 @@ def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
     s["n_bases_per_read"] = n_bases
     s["pore_model"] = os.path.relpath(pore_path, REPO) if os.path.exists(
         pore_path) else "synthetic(seed=1234)"
+    if oracle:
+        from chiron_tpu.tools.oracle import measure_axis as oracle_axis
+
+        orep = oracle_axis(n_reads, n_bases, seed, pore, cfg,
+                           workers=os.cpu_count() or 1)
+        s["oracle"] = {k: round(v, 4) if isinstance(v, float) else v
+                       for k, v in orep["summary"].items()}
     return s
 
 
@@ -162,6 +175,10 @@ def main(argv=None):
                    help="beam width (0 = greedy)")
     p.add_argument("--quick", action="store_true",
                    help="small synthetic corpora (CI-scale)")
+    p.add_argument("--oracle", action="store_true",
+                   help="also decode each synthetic corpus with the exact-"
+                        "model Viterbi oracle (tools/oracle.py) and attach "
+                        "its ceiling under each axis's 'oracle' key")
     p.add_argument("--skip", default="",
                    help="comma list of axes to skip (real_dna,synthetic_dna,"
                         "synthetic_dna_slow,synthetic_rna) — the COMMITTED "
@@ -183,7 +200,8 @@ def main(argv=None):
                   f"{out['real_dna'].get('identity', 0):.4f}")
         if "synthetic_dna" not in skip:
             out["synthetic_dna"] = _measure_synth(
-                work, "dna", args.beam, n_reads, 1000 if args.quick else 4000)
+                work, "dna", args.beam, n_reads, 1000 if args.quick else 4000,
+                oracle=args.oracle)
             print(f"synthetic_dna identity:  "
                   f"{out['synthetic_dna']['identity']:.4f}")
         if "synthetic_dna_slow" not in skip:
@@ -196,7 +214,8 @@ def main(argv=None):
                 work, "dna", args.beam, max(2, n_reads // 2),
                 500 if args.quick else 2000,
                 cfg=SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7),
-                axis="synth_dna_slow", model_dir=slow_dir, call_kw=slow_kw)
+                axis="synth_dna_slow", model_dir=slow_dir, call_kw=slow_kw,
+                oracle=args.oracle)
             out["synthetic_dna_slow"]["sim_config"] = (
                 "mean_dwell=24 max_dwell=140 noise_ar=0.7")
             out["synthetic_dna_slow"]["model"] = os.path.basename(slow_dir)
@@ -205,7 +224,7 @@ def main(argv=None):
         if "synthetic_rna" not in skip:
             out["synthetic_rna"] = _measure_synth(
                 work, "rna", args.beam, max(2, n_reads // 4),
-                500 if args.quick else 2000)
+                500 if args.quick else 2000, oracle=args.oracle)
             print(f"synthetic_rna identity:  "
                   f"{out['synthetic_rna']['identity']:.4f}")
     finally:

@@ -243,8 +243,6 @@ def assess_dir(result_dir: str, reference: str, band: Optional[int] = None) -> d
     else:
         refs = _read_fastx(reference)
     rows = {}
-    totals = {"matches": 0, "mismatches": 0, "insertions": 0, "deletions": 0,
-              "ref_len": 0}
     for f in sorted(os.listdir(result_dir)):
         if not (f.endswith(".fastq") or f.endswith(".fasta")):
             continue
@@ -253,10 +251,18 @@ def assess_dir(result_dir: str, reference: str, band: Optional[int] = None) -> d
             ref = refs.get(name) or refs.get(os.path.splitext(f)[0])
             if ref is None:
                 continue
-            row = assess_read(called, ref, band)
-            rows[name] = row
-            for key in ("matches", "mismatches", "insertions", "deletions", "ref_len"):
-                totals[key] += row[key]
+            rows[name] = assess_read(called, ref, band)
+    return {"reads": rows, "summary": summarize_rows(rows)}
+
+
+def summarize_rows(rows: Dict[str, dict]) -> dict:
+    """Aggregate per-read assess_read rows into the standard summary block
+    (shared by assess_dir and the oracle decoder, tools/oracle.py)."""
+    totals = {"matches": 0, "mismatches": 0, "insertions": 0, "deletions": 0,
+              "ref_len": 0}
+    for row in rows.values():
+        for key in totals:
+            totals[key] += row[key]
     ref_total = max(totals["ref_len"], 1)
     called_total = sum(r["called_len"] for r in rows.values())
     kmer11 = (
@@ -266,7 +272,7 @@ def assess_dir(result_dir: str, reference: str, band: Optional[int] = None) -> d
     identity = totals["matches"] / ref_total
     # identity of a random same-length caller under this aligner is ~0.52
     # (forced mismatch pairing); "skill" rescales so 0 = noise, 1 = perfect
-    summary = {
+    return {
         "n_reads": len(rows),
         "identity": identity,
         "skill": max(0.0, (identity - RANDOM_IDENTITY) / (1 - RANDOM_IDENTITY)),
@@ -276,7 +282,6 @@ def assess_dir(result_dir: str, reference: str, band: Optional[int] = None) -> d
         "deletion_rate": totals["deletions"] / ref_total,
         "error_rate": (totals["mismatches"] + totals["insertions"] + totals["deletions"]) / ref_total,
     }
-    return {"reads": rows, "summary": summary}
 
 
 # measured on random same-length 4-letter pairs through banded_global_align
