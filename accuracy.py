@@ -82,12 +82,14 @@ HOLDOUT_SEED_RNA = 992
 
 
 def _flags(input_dir, output_dir, model_dir, mode="dna", beam=30,
-           batch=400, seg=400, jump=390):
+           batch=400, seg=400, jump=390, length_bonus=None):
     return types.SimpleNamespace(
         input=input_dir, output=output_dir, model=model_dir,
         start=0, batch_size=batch, segment_len=seg, jump=jump, threads=0,
         beam=beam, extension="fastq", concise=False, mode=mode,
         reverse_fast5=False, recursive=False, sig_norm=1, bf16=False,
+        # None => the model's calibrated model.json default (pipeline.py)
+        length_bonus=length_bonus,
     )
 
 
@@ -120,7 +122,7 @@ def measure_real_dna(work: str, beam: int) -> dict:
 def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
                    n_bases: int, cfg=None, axis: str = "",
                    model_dir: str = None, call_kw: dict = None,
-                   oracle: bool = False) -> dict:
+                   oracle: bool = False, length_bonus=None) -> dict:
     """Held-out simulated corpus -> basecall -> identity vs truth.
 
     ``oracle=True`` additionally decodes the SAME corpus with the exact-
@@ -146,12 +148,15 @@ def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
                     fasta=truth)
     out = os.path.join(work, f"{axis}_out")
     if call_kw is not None:
-        flags = _flags(data, out, model_dir, mode=mode, beam=beam, **call_kw)
+        flags = _flags(data, out, model_dir, mode=mode, beam=beam,
+                       length_bonus=length_bonus, **call_kw)
     elif mode == "dna":
-        flags = _flags(data, out, model_dir, mode="dna", beam=beam)
+        flags = _flags(data, out, model_dir, mode="dna", beam=beam,
+                       length_bonus=length_bonus)
     else:
         flags = _flags(data, out, model_dir, mode="rna", beam=beam,
-                       batch=100, seg=2000, jump=1900)
+                       batch=100, seg=2000, jump=1900,
+                       length_bonus=length_bonus)
     _call(flags)
     report = assess_dir(os.path.join(out, "result"), truth)
     s = report["summary"]
@@ -175,6 +180,9 @@ def main(argv=None):
                    help="beam width (0 = greedy)")
     p.add_argument("--quick", action="store_true",
                    help="small synthetic corpora (CI-scale)")
+    p.add_argument("--length_bonus", type=float, default=None,
+                   help="beam-decode per-label bonus; default None = each "
+                        "model's calibrated model.json value (0.0 if unset)")
     p.add_argument("--oracle", action="store_true",
                    help="also decode each synthetic corpus with the exact-"
                         "model Viterbi oracle (tools/oracle.py) and attach "
@@ -201,7 +209,7 @@ def main(argv=None):
         if "synthetic_dna" not in skip:
             out["synthetic_dna"] = _measure_synth(
                 work, "dna", args.beam, n_reads, 1000 if args.quick else 4000,
-                oracle=args.oracle)
+                oracle=args.oracle, length_bonus=args.length_bonus)
             print(f"synthetic_dna identity:  "
                   f"{out['synthetic_dna']['identity']:.4f}")
         if "synthetic_dna_slow" not in skip:
@@ -215,7 +223,7 @@ def main(argv=None):
                 500 if args.quick else 2000,
                 cfg=SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7),
                 axis="synth_dna_slow", model_dir=slow_dir, call_kw=slow_kw,
-                oracle=args.oracle)
+                oracle=args.oracle, length_bonus=args.length_bonus)
             out["synthetic_dna_slow"]["sim_config"] = (
                 "mean_dwell=24 max_dwell=140 noise_ar=0.7")
             out["synthetic_dna_slow"]["model"] = os.path.basename(slow_dir)
@@ -224,7 +232,8 @@ def main(argv=None):
         if "synthetic_rna" not in skip:
             out["synthetic_rna"] = _measure_synth(
                 work, "rna", args.beam, max(2, n_reads // 4),
-                500 if args.quick else 2000, oracle=args.oracle)
+                500 if args.quick else 2000, oracle=args.oracle,
+                length_bonus=args.length_bonus)
             print(f"synthetic_rna identity:  "
                   f"{out['synthetic_rna']['identity']:.4f}")
     finally:

