@@ -401,6 +401,11 @@ def train(hparams) -> Dict[str, Any]:
     metrics_path = os.path.join(model_dir, "metrics.jsonl")
     lr_schedule = make_lr_schedule(hparams.step_rate, hparams.max_steps)
     save_every = int(getattr(hparams, "save_every", 10))
+    # periodic EMA side snapshot (rolling, pointer untouched): long
+    # schedules on shared hardware get stopped mid-run; without this the
+    # EMA lives only in process memory until the final step and a killed
+    # run has no installable ema-<step>.npz (stage_install needs one)
+    ema_save_every = int(getattr(hparams, "ema_save_every", 2000) or 0)
     resample_every = int(getattr(hparams, "resample_after_epoch", 0) or 0)
     offset_inc = int(getattr(hparams, "offset_increment", 3))
     skip_start = 10
@@ -468,6 +473,11 @@ def train(hparams) -> Dict[str, Any]:
                         "seconds_per_step": dt / save_every,
                     }) + "\n")
             t0 = time.time()
+            if (is_writer and ema_save_every
+                    and (i + 1) % ema_save_every == 0
+                    and (i + 1) != hparams.max_steps):
+                save_checkpoint(model_dir, ema_params, i + 1, prefix="ema",
+                                update_state=False, max_to_keep=2)
             if max_rss_gb and _rss_gb() > max_rss_gb:
                 # checkpoint state is already on disk (save above); save
                 # the EMA too so even an un-resumed run has usable weights

@@ -56,14 +56,24 @@ def time_variant(width: int, mode: str, iters: int = 20) -> float:
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     _ = float(run_chain(logits, 2))  # warm-up + compile
-    t0 = time.time()
-    _ = float(run_chain(logits, iters))
-    base = time.time() - t0
-    t0 = time.time()
-    _ = float(run_chain(logits, 2 * iters))
-    double = time.time() - t0
-    # slope removes the fixed dispatch+readback overhead
-    return (double - base) / iters
+    # The tunnel adds large, occasionally-bimodal noise to wall time (r5:
+    # a single base/double pair produced NEGATIVE slopes at width 50).
+    # Take the median of several independent slope measurements, and also
+    # report the min-based slope (min is robust when noise is one-sided
+    # additive delay, the tunnel's failure mode).
+    slopes = []
+    bases, doubles = [], []
+    for _rep in range(5):
+        t0 = time.time()
+        _ = float(run_chain(logits, iters))
+        bases.append(time.time() - t0)
+        t0 = time.time()
+        _ = float(run_chain(logits, 2 * iters))
+        doubles.append(time.time() - t0)
+        slopes.append((doubles[-1] - bases[-1]) / iters)
+    med = sorted(slopes)[len(slopes) // 2]
+    lo = (min(doubles) - min(bases)) / iters
+    return med, lo
 
 
 def main():
@@ -72,10 +82,12 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
     for w in [int(x) for x in args.widths.split(",")]:
-        exact = time_variant(w, "exact", args.iters)
-        stub = time_variant(w, "stub", args.iters)
-        print(f"beam{w}: exact {exact * 1e3:.2f} ms  stub(no-topk) "
-              f"{stub * 1e3:.2f} ms  topk-share {(exact - stub) * 1e3:.2f} ms")
+        exact, exact_lo = time_variant(w, "exact", args.iters)
+        stub, stub_lo = time_variant(w, "stub", args.iters)
+        print(f"beam{w}: exact {exact * 1e3:.2f} ms (min-slope "
+              f"{exact_lo * 1e3:.2f})  stub(no-topk) {stub * 1e3:.2f} ms "
+              f"(min-slope {stub_lo * 1e3:.2f})  topk-share "
+              f"{(exact - stub) * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":
