@@ -122,13 +122,19 @@ def measure_real_dna(work: str, beam: int) -> dict:
 def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
                    n_bases: int, cfg=None, axis: str = "",
                    model_dir: str = None, call_kw: dict = None,
-                   oracle: bool = False, length_bonus=None) -> dict:
+                   oracle: bool = False, length_bonus=None,
+                   oracle_reads: int = 0) -> dict:
     """Held-out simulated corpus -> basecall -> identity vs truth.
 
     ``oracle=True`` additionally decodes the SAME corpus with the exact-
     model Viterbi oracle (tools/oracle.py, VERDICT r4 #1) and attaches its
     summary under "oracle" — the measured Bayes-style ceiling every model
-    number should be read against (CPU-only, ~minutes per axis)."""
+    number should be read against (CPU-only). ``oracle_reads`` caps the
+    oracle to the first N reads of the corpus (simulate_corpus and
+    measure_axis draw reads sequentially from RandomState(seed), so the
+    capped set is a deterministic prefix of the same corpus) — the joint
+    Viterbi is exact but minutes-per-read on a small host; each read is
+    2-4k bases so a handful bounds the ceiling tightly."""
     from chiron_tpu.tools.assess import assess_dir
     from chiron_tpu.tools.simulate import KmerModel, SimConfig, simulate_corpus
 
@@ -166,7 +172,8 @@ def _measure_synth(work: str, mode: str, beam: int, n_reads: int,
     if oracle:
         from chiron_tpu.tools.oracle import measure_axis as oracle_axis
 
-        orep = oracle_axis(n_reads, n_bases, seed, pore, cfg,
+        n_or = min(n_reads, oracle_reads) if oracle_reads else n_reads
+        orep = oracle_axis(n_or, n_bases, seed, pore, cfg,
                            workers=os.cpu_count() or 1)
         s["oracle"] = {k: round(v, 4) if isinstance(v, float) else v
                        for k, v in orep["summary"].items()}
@@ -187,6 +194,9 @@ def main(argv=None):
                    help="also decode each synthetic corpus with the exact-"
                         "model Viterbi oracle (tools/oracle.py) and attach "
                         "its ceiling under each axis's 'oracle' key")
+    p.add_argument("--oracle_reads", type=int, default=0,
+                   help="cap the oracle to the first N reads per axis "
+                        "(deterministic corpus prefix); 0 = all")
     p.add_argument("--skip", default="",
                    help="comma list of axes to skip (real_dna,synthetic_dna,"
                         "synthetic_dna_slow,synthetic_rna) — the COMMITTED "
@@ -209,7 +219,8 @@ def main(argv=None):
         if "synthetic_dna" not in skip:
             out["synthetic_dna"] = _measure_synth(
                 work, "dna", args.beam, n_reads, 1000 if args.quick else 4000,
-                oracle=args.oracle, length_bonus=args.length_bonus)
+                oracle=args.oracle, length_bonus=args.length_bonus,
+                oracle_reads=args.oracle_reads)
             print(f"synthetic_dna identity:  "
                   f"{out['synthetic_dna']['identity']:.4f}")
         if "synthetic_dna_slow" not in skip:
@@ -223,7 +234,8 @@ def main(argv=None):
                 500 if args.quick else 2000,
                 cfg=SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7),
                 axis="synth_dna_slow", model_dir=slow_dir, call_kw=slow_kw,
-                oracle=args.oracle, length_bonus=args.length_bonus)
+                oracle=args.oracle, length_bonus=args.length_bonus,
+                oracle_reads=args.oracle_reads)
             out["synthetic_dna_slow"]["sim_config"] = (
                 "mean_dwell=24 max_dwell=140 noise_ar=0.7")
             out["synthetic_dna_slow"]["model"] = os.path.basename(slow_dir)
@@ -233,7 +245,8 @@ def main(argv=None):
             out["synthetic_rna"] = _measure_synth(
                 work, "rna", args.beam, max(2, n_reads // 4),
                 500 if args.quick else 2000, oracle=args.oracle,
-                length_bonus=args.length_bonus)
+                length_bonus=args.length_bonus,
+                oracle_reads=args.oracle_reads)
             print(f"synthetic_rna identity:  "
                   f"{out['synthetic_rna']['identity']:.4f}")
     finally:

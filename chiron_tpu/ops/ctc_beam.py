@@ -10,10 +10,12 @@ TPU-first design decisions (vs. the reference's C++ per-sequence decoder):
 * The whole batch advances in lockstep through a single ``lax.scan`` over
   time — beams are [B, W] arrays, candidate scoring/merging/top-k are all
   dense vector ops on the VPU.
-* Beams are identified by a pair of 32-bit rolling hashes instead of
-  materialised label strings. Prefix merging (an extend-candidate colliding
-  with an existing beam) is detected with a [4W, W] hash-equality matrix.
-  Two independent multipliers make accidental collisions ~2^-64.
+* Beams are identified by a 32-bit rolling hash instead of materialised
+  label strings. Prefix merging (an extend-candidate colliding with an
+  existing beam) is detected with a [4W, W] hash-equality matrix
+  (accidental collisions ~2^-32 per compared pair — far below the beam
+  search's own approximation noise; mirrors the Pallas kernel's r5
+  single-hash state so both twins carry the same identity scheme).
 * Decoded sequences are NOT carried through the scan. Each step emits a
   compact (parent, char) traceback record; sequences are reconstructed on
   device afterwards by a cheap reverse scan over the chosen beam's chain.
@@ -36,7 +38,6 @@ from jax import lax
 
 _NEG_INF = -1e30
 _H1_MULT = np.uint32(2654435761)  # Knuth multiplicative hash
-_H2_MULT = np.uint32(0x01000193)  # FNV prime
 
 
 def _logaddexp(a, b):
@@ -82,15 +83,13 @@ def beam_search_decode(
     widx = jnp.arange(w, dtype=jnp.uint32)
     # distinct garbage hashes for inactive beams so they never merge
     h1_0 = jnp.where(widx == 0, jnp.uint32(1), widx * np.uint32(7919) + 3)
-    h2_0 = jnp.where(widx == 0, jnp.uint32(1), widx * np.uint32(104729) + 5)
     h1_0 = jnp.broadcast_to(h1_0, (bsz, w))
-    h2_0 = jnp.broadcast_to(h2_0, (bsz, w))
     last0 = jnp.full((bsz, w), -1, jnp.int32)
 
     lp_t = jnp.transpose(lp, (1, 0, 2))  # [T, B, C]
 
     def step(carry, inp):
-        p_b, p_nb, h1, h2, last = carry
+        p_b, p_nb, h1, last = carry
         lp_cur, t = inp  # lp_cur: [B, C]
 
         lp_blank = lp_cur[:, blank][:, None]  # [B, 1]
@@ -110,13 +109,10 @@ def beam_search_decode(
         ext_pnb = lp_ext + base + length_bonus  # [B, nlab, W]
 
         ext_h1 = h1[:, None, :] * _H1_MULT + jnp.arange(1, nlab + 1, dtype=jnp.uint32)[None, :, None]
-        ext_h2 = h2[:, None, :] * _H2_MULT + jnp.arange(1, nlab + 1, dtype=jnp.uint32)[None, :, None]
 
         # ---- merge extends into equal-hash stays -------------------------
         # eq[b, c, w_ext, w_stay]: extend (c, w_ext) produces stay w_stay's prefix
-        eq = (ext_h1[..., None] == h1[:, None, None, :]) & (
-            ext_h2[..., None] == h2[:, None, None, :]
-        )
+        eq = ext_h1[..., None] == h1[:, None, None, :]
         ext_flat = ext_pnb.reshape(bsz, nlab * w)
         eq_flat = eq.reshape(bsz, nlab * w, w)
         # contribution of merging extends to each stay's non-blank mass
@@ -148,11 +144,6 @@ def beam_search_decode(
             gather(h1),
             gather(h1) * _H1_MULT + (newchar + 1).astype(jnp.uint32),
         )
-        new_h2 = jnp.where(
-            is_stay,
-            gather(h2),
-            gather(h2) * _H2_MULT + (newchar + 1).astype(jnp.uint32),
-        )
         new_last = jnp.where(is_stay, gather(last), newchar)
 
         # ---- freeze beams past each example's seq length -----------------
@@ -164,13 +155,12 @@ def beam_search_decode(
             keep(new_pb, p_b),
             keep(new_pnb, p_nb),
             keep(new_h1, h1),
-            keep(new_h2, h2),
             keep(new_last, last),
         )
         return carry, (out_parent.astype(jnp.int8), out_char.astype(jnp.int8))
 
-    (p_b, p_nb, _, _, _), (parents, chars) = lax.scan(
-        step, (p_b0, p_nb0, h1_0, h2_0, last0), (lp_t, jnp.arange(t_max))
+    (p_b, p_nb, _, _), (parents, chars) = lax.scan(
+        step, (p_b0, p_nb0, h1_0, last0), (lp_t, jnp.arange(t_max))
     )
     # parents/chars: [T, B, W] int8
     final_score = _logaddexp(p_b, p_nb)  # [B, W]

@@ -34,7 +34,12 @@ candidates. Row arithmetic (row//seg, row%seg) recovers (char, parent)
 after top-k.
 
 Semantics are identical to ops/ctc_beam.py (same scoring, same rolling-hash
-merge, ties broken toward the lowest candidate index).
+merge, ties broken toward the lowest candidate index). Prefix identity uses
+ONE 32-bit rolling hash (r5): the second hash of rounds 1-4 doubled the
+int-state gathers and the merge compares — both on the measured [seg, seg,
+TB] latency floor — to buy 2^-64 collision odds where 2^-32 (~1 demoted
+beam entry per ~30 full batch decodes) is already far below the beam
+search's own approximation noise.
 """
 
 from __future__ import annotations
@@ -49,7 +54,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 _H1_MULT = np.int32(-1640531535)  # 2654435761 as int32 (same bits)
-_H2_MULT = np.int32(0x01000193)
 MAX_SEG = 64  # widest supported beam (merge matrix is [seg, seg, TB])
 MAX_CLASS = 8  # classes ride the 8-sublane axis of the [8, TB] lp block
 
@@ -70,7 +74,7 @@ BEAM_CHUNK = 8
 
 
 def _beam_kernel(w, seg, nlab, chunk, bonus, topk_mode, lens_ref, lp_ref,
-                 trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s):
+                 trace_ref, pb_s, pnb_s, h_s, last_s, ph_s):
     """``chunk`` search steps per grid iteration.
 
     Chunking the time axis amortises the per-grid-step bookkeeping and
@@ -86,25 +90,22 @@ def _beam_kernel(w, seg, nlab, chunk, bonus, topk_mode, lens_ref, lp_ref,
     def _():
         pb_s[:] = jnp.where(row == 0, 0.0, _NEG)
         pnb_s[:] = jnp.full((seg, tb), _NEG)
-        h1_s[:] = jnp.where(row == 0, 1, row * 7919 + 3)
-        h2_s[:] = jnp.where(row == 0, 1, row * 104729 + 5)
+        h_s[:] = jnp.where(row == 0, 1, row * 7919 + 3)
         last_s[:] = jnp.full((seg, tb), -1, jnp.int32)
         # hash of the prefix WITHOUT the last char; garbage until a beam
         # holds a non-empty string (never matches a real hash)
-        ph1_s[:] = row * 15485863 + 17
-        ph2_s[:] = row * 49979687 + 19
+        ph_s[:] = row * 15485863 + 17
 
-    state = (pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:],
-             ph2_s[:])
+    state = (pb_s[:], pnb_s[:], h_s[:], last_s[:], ph_s[:])
     for j in range(chunk):
         state = _beam_step(w, seg, nlab, bonus, topk_mode, tc * chunk + j, j,
                            lens_ref, lp_ref, trace_ref, state)
-    pb_s[:], pnb_s[:], h1_s[:], h2_s[:], last_s[:], ph1_s[:], ph2_s[:] = state
+    pb_s[:], pnb_s[:], h_s[:], last_s[:], ph_s[:] = state
 
 
 def _beam_step(w, seg, nlab, bonus, topk_mode, t, j, lens_ref, lp_ref,
                trace_ref, state):
-    pb, pnb, h1, h2, last, ph1, ph2 = state
+    pb, pnb, h, last, ph = state
     tb = pb.shape[1]
     cand = seg * (nlab + 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (seg, tb), 0)
@@ -134,30 +135,34 @@ def _beam_step(w, seg, nlab, bonus, topk_mode, t, j, lens_ref, lp_ref,
     # prefix(Y) == string(X) and last[Y] == c, so comparing X's FULL hash
     # against Y's PREFIX hash (carried state) needs only a [seg, seg]
     # matrix -- 4x less work than comparing against all (c, stay) pairs.
-    live_i = live.astype(jnp.int32)  # i1 mid-dim inserts unsupported
-    h1x = h1[:, None, :]            # extend parent X on axis 0
-    h2x = h2[:, None, :]
-    ph1y = ph1[None, :, :]          # stay Y on axis 1
-    ph2y = ph2[None, :, :]
+    # Every [seg, seg, TB] op here is on the kernel's latency floor (the
+    # round-4/5 stub-profiling attribution), so the fabric is ONE equality
+    # compare: the live/last validity masks are folded into the hash
+    # operands as per-row sentinels BEFORE broadcast (cheap [seg, TB]
+    # selects), instead of 4 extra [seg, seg, TB] mask ANDs.
+    hx_m = jnp.where(live, h, row + jnp.int32(0x5a000001))
+    phy_m = jnp.where(live & (last >= 0), ph, row + jnp.int32(0x2b0000c9))
     last_y = last[None, :, :]
-    eq = (
-        (h1x == ph1y)
-        & (h2x == ph2y)
-        & (live_i[:, None, :] > 0)
-        & (live_i[None, :, :] > 0)
-        & (last_y >= 0)
-    )
+    eq = hx_m[:, None, :] == phy_m[None, :, :]
     # contribution value: the extend (X, c=last[Y]) non-blank mass.
     # Beam strings are pairwise distinct (duplicate extends are killed the
     # step they appear), so each stay Y matches AT MOST ONE parent X — the
     # log-sum-exp accumulation over X collapses to a masked sum (no
-    # exp/log transcendentals over the [seg, seg, TB] matrix), and the
+    # exp/log transcendentals over the [seg, seg, TB] matrix) and the
     # per-label killed[] any-reductions collapse to ONE bitmask pass.
-    # Distinctness is enforced via the 2x32-bit string hash pair: on a hash
-    # collision two parents would match one stay and their LOG-probs ADD
-    # (-5 + -7 = -12), corrupting that beam score — vs the old LSE which
-    # merged to a sane value. Accepted: collision odds are ~2^-64 per pair
-    # and a corrupted score only demotes one beam entry.
+    # (A shifted-sum fold of the any-reduction into raw_y was tried and
+    # reverted: length_bonus makes scores positive-unbounded, so no
+    # constant shift keeps matched terms sign-separable without f32
+    # cancellation breaking exact XLA-twin parity.)
+    # Distinctness is enforced via the 32-bit rolling string hash: on a
+    # hash collision two parents would match one stay and their LOG-probs
+    # ADD (-5 + -7 = -12), corrupting that beam score. Collision odds per
+    # compared pair are ~2^-32 (~1 corrupted BEAM ENTRY per ~30 full
+    # B=400/T=400 decodes); a corrupted entry only demotes one beam. The
+    # second hash of rounds 1-4 bought ~2^-64 at the price of two extra
+    # state gathers + a second [seg, seg, TB] compare per step — measured
+    # fabric cost, not worth 1e-9 -> 1e-18 on a per-window error that the
+    # W-wide beam absorbs.
     lp_y = jnp.full((seg, tb), 0.0)         # lp at last[Y], per stay row
     for c in range(nlab):
         lp_y = jnp.where(last == c, lp[c:c + 1], lp_y)
@@ -178,15 +183,19 @@ def _beam_step(w, seg, nlab, bonus, topk_mode, t, j, lens_ref, lp_ref,
     stay_pnb = _lae(stay_pnb, merged_total)
 
     # ---- assemble candidate rows [cand, TB] ------------------------------
-    cand_pb = jnp.concatenate(
-        [stay_pb] + [jnp.full((seg, tb), _NEG)] * nlab, axis=0
-    )
+    # Extend rows have no blank mass, so their score IS cand_pnb: the _lae
+    # exp/log pair only runs over the seg stay rows, not all (nlab+1)*seg
+    # candidate rows.
     cand_pnb = jnp.concatenate(
         [stay_pnb]
         + [jnp.where(killed[c], _NEG, ext_pnb[c]) for c in range(nlab)],
         axis=0,
     )
-    score = _lae(cand_pb, cand_pnb)
+    score = jnp.concatenate(
+        [_lae(stay_pb, stay_pnb)] + [cand_pnb[seg * (c + 1):seg * (c + 2)]
+                                     for c in range(nlab)],
+        axis=0,
+    )
 
     cl = jax.lax.broadcasted_iota(jnp.int32, (cand, tb), 0)
 
@@ -239,38 +248,40 @@ def _beam_step(w, seg, nlab, bonus, topk_mode, t, j, lens_ref, lp_ref,
     def gat_i(arr):
         return jnp.sum(jnp.where(onehot_p, arr[None], 0), axis=1)
 
-    p_pb = gat_f(pb)
-    p_pon = gat_f(pb_or_pnb)
-    p_h1 = gat_i(h1)
-    p_h2 = gat_i(h2)
+    p_h = gat_i(h)
+    p_ph = gat_i(ph)
     p_last = gat_i(last)
     is_stay = chars < 0
-    # extend value recomputed from the parent (killed extends can never be
-    # selected: their candidate score is _NEG)
     lp_c = jnp.full((seg, tb), 0.0)
     for c in range(nlab):
         lp_c = jnp.where(chars == c, lp[c:c + 1], lp_c)
-    ext_val = lp_c + jnp.where(p_last == chars, p_pb, p_pon) + bonus
+    # One fused gather serves both pnb cases: per (slot, parent) the source
+    # is the parent's stay_pnb for stay slots and the extend BASE (the
+    # parent's pb / pb-or-pnb keyed on last[parent] == chars[slot]) for
+    # extend slots — the extend value is then recomputed post-gather as
+    # lp_c + base + bonus (killed extends can never be selected: their
+    # candidate score is _NEG). Replaces three separate [seg, seg, TB]
+    # gathers (stay_pnb, pb, pb_or_pnb) of the rounds-1-4 kernel.
+    pnb_src = jnp.where(
+        is_stay[:, None, :],
+        stay_pnb[None],
+        jnp.where(last[None] == chars[:, None, :], pb[None],
+                  pb_or_pnb[None]),
+    )
+    fused = jnp.sum(jnp.where(onehot_p, pnb_src, 0.0), axis=1)
 
     garbage1 = (t * 131 + kcol) * 7919 + 1000003
-    garbage2 = (t * 131 + kcol) * 104729 + 666
     new_pb = jnp.where(valid & is_stay, gat_f(stay_pb), _NEG)
     new_pnb = jnp.where(
-        valid, jnp.where(is_stay, gat_f(stay_pnb), ext_val), _NEG
+        valid, jnp.where(is_stay, fused, lp_c + fused + bonus), _NEG
     )
-    new_h1 = jnp.where(
-        valid, jnp.where(is_stay, p_h1, p_h1 * _H1_MULT + chars + 1), garbage1
-    )
-    new_h2 = jnp.where(
-        valid, jnp.where(is_stay, p_h2, p_h2 * _H2_MULT + chars + 1), garbage2
+    new_h = jnp.where(
+        valid, jnp.where(is_stay, p_h, p_h * _H1_MULT + chars + 1), garbage1
     )
     new_last = jnp.where(valid, jnp.where(is_stay, p_last, chars), -1)
     # prefix hash: stays keep theirs; an extend's prefix IS the parent
-    new_ph1 = jnp.where(
-        valid, jnp.where(is_stay, gat_i(ph1), p_h1), kcol * 15485863 + 17
-    )
-    new_ph2 = jnp.where(
-        valid, jnp.where(is_stay, gat_i(ph2), p_h2), kcol * 49979687 + 19
+    new_ph = jnp.where(
+        valid, jnp.where(is_stay, p_ph, p_h), kcol * 15485863 + 17
     )
 
     # ---- freeze past each row's length -----------------------------------
@@ -283,11 +294,9 @@ def _beam_step(w, seg, nlab, bonus, topk_mode, t, j, lens_ref, lp_ref,
     return (
         jnp.where(active, new_pb, pb),
         jnp.where(active, new_pnb, pnb),
-        jnp.where(active, new_h1, h1),
-        jnp.where(active, new_h2, h2),
+        jnp.where(active, new_h, h),
         jnp.where(active, new_last, last),
-        jnp.where(active, new_ph1, ph1),
-        jnp.where(active, new_ph2, ph2),
+        jnp.where(active, new_ph, ph),
     )
 
 
@@ -399,8 +408,6 @@ def beam_search_pallas(
             pltpu.VMEM((seg, batch_tile), jnp.int32),
             pltpu.VMEM((seg, batch_tile), jnp.int32),
             pltpu.VMEM((seg, batch_tile), jnp.int32),
-            pltpu.VMEM((seg, batch_tile), jnp.int32),
-            pltpu.VMEM((seg, batch_tile), jnp.int32),
         ],
         interpret=interpret,
     )(lens_b, lp)
@@ -451,10 +458,10 @@ def beam_search_pallas(
 
 
 def _beam_wrapper(w, seg, nlab, chunk, bonus, topk_mode, lens_ref, lp_ref,
-                  pb_out, pnb_out, trace_ref, pb_s, pnb_s, h1_s, h2_s,
-                  last_s, ph1_s, ph2_s):
+                  pb_out, pnb_out, trace_ref, pb_s, pnb_s, h_s, last_s,
+                  ph_s):
     _beam_kernel(w, seg, nlab, chunk, bonus, topk_mode, lens_ref, lp_ref,
-                 trace_ref, pb_s, pnb_s, h1_s, h2_s, last_s, ph1_s, ph2_s)
+                 trace_ref, pb_s, pnb_s, h_s, last_s, ph_s)
     # expose final state (written every step; last write wins)
     pb_out[:] = pb_s[:]
     pnb_out[:] = pnb_s[:]

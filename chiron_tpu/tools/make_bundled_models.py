@@ -187,7 +187,8 @@ def _read_logits(params, cfg, signal, batch: int = 400):
 
 def stage_realdata(work: str, repeats: int = 8,
                    align_model: str = None,
-                   rep_stride_labels: int = 3) -> None:
+                   rep_stride_labels: int = 3,
+                   exclude_read: str = None) -> None:
     """Bootstrap-label the reference's real DNA reads and build a mixed
     fine-tuning corpus (the round-3 real-signal adaptation stage).
 
@@ -208,6 +209,13 @@ def stage_realdata(work: str, repeats: int = 8,
     of the golden sequence through that model's own logits
     (ops/ctc_align.py) — the bootstrap round that lifts label quality past
     what the pore-model DTW alone can do.
+
+    ``exclude_read``: leave-one-read-out protocol (VERDICT r4 #5a — the
+    memorisation-proof version of the round-4 real-signal experiment):
+    the named read contributes NO training windows; fine-tune on the
+    remaining reads and evaluate real_dna skill ONLY on the held-out read
+    (accuracy.py real_dna reports per-read identity, and assess_dir can be
+    pointed at a single basecalled read).
     """
     import numpy as np
 
@@ -243,7 +251,13 @@ def stage_realdata(work: str, repeats: int = 8,
         seqs.update(_read_fastx(os.path.join(golden, fn)))
     real_dir = os.path.join(work, "train_realmix", "real")
     os.makedirs(real_dir, exist_ok=True)
+    if exclude_read is not None and exclude_read not in seqs:
+        raise ValueError(f"--exclude_read {exclude_read!r} not in "
+                         f"{sorted(seqs)}")
     for name in sorted(seqs):
+        if name == exclude_read:
+            print(f"{name}: HELD OUT (leave-one-read-out)")
+            continue
         sig = np.loadtxt(os.path.join(raw, name + ".signal"),
                          dtype=np.float32).ravel()
         seq = seqs[name]
@@ -447,6 +461,9 @@ def main(argv=None) -> int:
     p.add_argument("--align_model", default=None,
                    help="realdata: refine DTW labels by CTC forced "
                         "alignment through this checkpoint dir's model")
+    p.add_argument("--exclude_read", default=None,
+                   help="realdata: hold this read entirely out of the "
+                        "training corpus (leave-one-read-out evaluation)")
     p.add_argument("--warm_start", default=None,
                    help="finetune: source checkpoint dir (default: the "
                         "bundled model)")
@@ -457,7 +474,8 @@ def main(argv=None) -> int:
         stage_data_slow(args.work)
     elif args.stage == "realdata":
         stage_realdata(args.work, align_model=args.align_model,
-                       rep_stride_labels=args.rep_stride_labels)
+                       rep_stride_labels=args.rep_stride_labels,
+                       exclude_read=args.exclude_read)
     elif args.stage == "train":
         _train(args.work, args.mode, args.max_steps,
                retrain=args.retrain,
