@@ -425,6 +425,10 @@ def stage_install(work: str) -> None:
                 os.remove(os.path.join(dst, old))
         for f in ckpts:
             shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+        # the architecture may have changed between rounds (e.g. a
+        # net2wide capacity jump): the config must travel with the weights
+        shutil.copy2(os.path.join(src, "model.json"),
+                     os.path.join(dst, "model.json"))
         step = ckpts[-1].split("-")[-1].split(".")[0]
         # the checkpoint-state file is a plain filename (train/checkpoint.py)
         with open(os.path.join(dst, "checkpoint"), "w") as fh:
