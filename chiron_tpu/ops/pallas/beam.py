@@ -210,6 +210,40 @@ def _beam_step(w, seg, nlab, bonus, topk_mode, t, j, lens_ref, lp_ref,
         # traceback) can be measured — the beam-50 latency analysis.
         idx_all = row
         picked_live = live
+    elif topk_mode == "packed":
+        # Index-carrying extract-max: candidate index rides the low 9
+        # mantissa bits of a monotone int32 image of the score, so each
+        # iteration is ONE max-tree + invalidate (~half the exact mode's
+        # max + masked-argmin + invalidate). Semantics: scores compare at
+        # 2^-14 relative granularity — candidates within that of each
+        # other tie-break by lowest index (the exact mode compares full
+        # f32). Measured r5 at B=400/T=400/W=50: the exact top-k loop is
+        # 8.8 ms of the 14.8 ms kernel; this mode trades exactness for
+        # ~2x on that loop. Opt-in (never the default): near-ties at
+        # 2^-14 pick a different-but-equal-scored beam order vs the XLA
+        # twin, so the exact-parity guarantee is relaxed to "equal up to
+        # score quantization".
+        bits = jax.lax.bitcast_convert_type(score, jnp.int32)
+        mono = jnp.where(bits >= 0, bits, bits ^ jnp.int32(0x7FFFFFFF))
+        key = (mono & jnp.int32(~511)) | (511 - cl)
+        live_key = int(
+            np.int32(
+                np.float32(_NEG / 2).view(np.int32) ^ np.int32(0x7FFFFFFF)
+            ) & ~511
+        )
+        idx_rows = []
+        live_rows = []
+        for k in range(w):
+            m = jnp.max(key, axis=0, keepdims=True)  # [1, TB] int32
+            idx = 511 - (m & 511)
+            idx_rows.append(idx)
+            live_rows.append((m > live_key).astype(jnp.int32))
+            key = jnp.where(cl == idx, jnp.int32(-2147483648), key)
+        if w < seg:
+            idx_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
+            live_rows.append(jnp.zeros((seg - w, tb), jnp.int32))
+        idx_all = jnp.concatenate(idx_rows, axis=0)
+        picked_live = jnp.concatenate(live_rows, axis=0) > 0
     else:
         idx_rows = []
         live_rows = []

@@ -57,16 +57,18 @@ def _assert_floors(summary, identity_floor, kmer_floor, tag):
     )
 
 
-# Floors re-measured round 5 on the enlarged corpora after the 60k-step
-# fast-regime continuation landed; values in each test docstring.
-IDENTITY_FLOOR = 0.67
-KMER11_FLOOR = 0.065
-BEAM_IDENTITY_FLOOR = 0.67
-BEAM_KMER11_FLOOR = 0.06
-SLOW_IDENTITY_FLOOR = 0.62
-SLOW_KMER11_FLOOR = 0.04
-RNA_IDENTITY_FLOOR = 0.60
-RNA_KMER11_FLOOR = 0.025
+# Floors re-measured round 5 with the widened (3x128) bundles on the
+# enlarged corpora; kmer floors sit ~20% under measured (VERDICT r4 #7).
+# Measured (CPU, deterministic seeds): dna greedy 0.756/0.0972,
+# dna beam-4 0.784/0.0884, slow greedy 0.728/0.0772, rna 0.678/0.0454.
+IDENTITY_FLOOR = 0.72
+KMER11_FLOOR = 0.078
+BEAM_IDENTITY_FLOOR = 0.74
+BEAM_KMER11_FLOOR = 0.07
+SLOW_IDENTITY_FLOOR = 0.69
+SLOW_KMER11_FLOOR = 0.062
+RNA_IDENTITY_FLOOR = 0.64
+RNA_KMER11_FLOOR = 0.036
 
 
 @pytest.mark.skipif(not os.path.isdir(MODEL_DNA), reason="bundled model absent")

@@ -79,15 +79,20 @@ def time_variant(width: int, mode: str, iters: int = 20) -> float:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--widths", default="30,50")
+    p.add_argument("--modes", default="exact,stub",
+                   help="comma list of topk modes to time (exact,stub,packed)")
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
+    modes = args.modes.split(",")
     for w in [int(x) for x in args.widths.split(",")]:
-        exact, exact_lo = time_variant(w, "exact", args.iters)
-        stub, stub_lo = time_variant(w, "stub", args.iters)
-        print(f"beam{w}: exact {exact * 1e3:.2f} ms (min-slope "
-              f"{exact_lo * 1e3:.2f})  stub(no-topk) {stub * 1e3:.2f} ms "
-              f"(min-slope {stub_lo * 1e3:.2f})  topk-share "
-              f"{(exact - stub) * 1e3:.2f} ms")
+        out = {}
+        for mode in modes:
+            med, lo = time_variant(w, mode, args.iters)
+            out[mode] = med
+            print(f"beam{w}/{mode}: {med * 1e3:.2f} ms "
+                  f"(min-slope {lo * 1e3:.2f})", flush=True)
+        if "exact" in out and "stub" in out:
+            print(f"beam{w}: topk-share {(out['exact'] - out['stub']) * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":
