@@ -414,6 +414,10 @@ def test_make_bundled_models_install(tmp_path, monkeypatch):
     src = os.path.join(work, "models", "DNA_retrain")
     save_checkpoint(src, {"w": np.ones(2)}, 100, prefix="final")
     save_checkpoint(src, {"w": np.ones(2) * 2}, 100, prefix="ema")
+    # the config travels with the weights (round-5 net2wide capacity jumps)
+    (tmp_path / "work" / "models" / "DNA_retrain" / "model.json").write_text(
+        '{"rnn": {"hidden_num": 128}}'
+    )
     (tmp_path / "work" / "dna_pore_model.tsv").write_text("kmer\tm\ts\n")
     monkeypatch.setattr(mbm, "REPO", str(repo))
     mbm.stage_install(work)
@@ -423,3 +427,4 @@ def test_make_bundled_models_install(tmp_path, monkeypatch):
     ]
     assert (dst / "checkpoint").read_text().strip() == "ema-100.npz"
     assert (dst / "pore_model.tsv").exists()
+    assert "128" in (dst / "model.json").read_text()

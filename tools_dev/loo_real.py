@@ -49,7 +49,7 @@ def main():
     os.makedirs(work)
 
     # the synthetic halves of the realmix corpus are fold-independent;
-    # build once, symlink per fold (the real windows differ per fold)
+    # build once, hardlink-copy per fold (the real windows differ per fold)
     os.makedirs(args.shared_sim, exist_ok=True)
     shared_done = os.path.join(args.shared_sim, ".done")
     if not os.path.exists(shared_done):
@@ -57,16 +57,21 @@ def main():
         open(shared_done, "w").write("ok\n")
     # per-fold: real labels minus the held-out read
     stage_realdata(work, rep_stride_labels=10, exclude_read=args.fold)
-    # replace the per-fold synthetic dirs with shared symlinks
+    # replace the per-fold synthetic dirs with hardlink copies of the
+    # shared ones (os.walk does not follow dir symlinks, so a symlinked
+    # corpus silently contributes ZERO windows — measured: the fold then
+    # trains on real-only windows and catastrophically forgets)
     for sub in ("slow", "fast"):
         d = os.path.join(work, "train_realmix", sub)
         if os.path.isdir(d):
             shutil.rmtree(d)
-        os.symlink(os.path.join(args.shared_sim, "train_realmix", sub), d)
+        shutil.copytree(os.path.join(args.shared_sim, "train_realmix", sub),
+                        d, copy_function=os.link)
     v = os.path.join(work, "valid_realmix")
     if os.path.isdir(v):
         shutil.rmtree(v)
-    os.symlink(os.path.join(args.shared_sim, "valid_realmix"), v)
+    shutil.copytree(os.path.join(args.shared_sim, "valid_realmix"), v,
+                    copy_function=os.link)
 
     stage_finetune(work, "dna_slow", args.steps, step_rate=args.step_rate,
                    train_sub="train_realmix", valid_sub="valid_realmix")
