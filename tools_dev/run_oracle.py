@@ -38,13 +38,14 @@ def main():
     AXES = {
         "synthetic_dna": dict(n_reads=20, n_bases=4000, seed=991,
                               model=dna_pore, cfg=SimConfig()),
-        # slow/rna capped to a deterministic corpus prefix (accuracy.py
-        # --oracle_reads): the joint Viterbi is ~4-30 CPU-min/read at
-        # k=5 AR / k=6 and the ceiling estimate converges in a few reads
+        # full accuracy corpora (committed round-5 oracle rows used every
+        # read). Cost on a 2-CPU host: ~40 min (fast), ~40 min (slow AR),
+        # ~85 min (rna k=6); cap with a smaller n_reads (deterministic
+        # corpus prefix, accuracy.py --oracle_reads) when iterating.
         "synthetic_dna_slow": dict(
-            n_reads=5, n_bases=2000, seed=991, model=slow_pore,
+            n_reads=10, n_bases=2000, seed=991, model=slow_pore,
             cfg=SimConfig(mean_dwell=24.0, max_dwell=140, noise_ar=0.7)),
-        "synthetic_rna": dict(n_reads=3, n_bases=2000, seed=992,
+        "synthetic_rna": dict(n_reads=5, n_bases=2000, seed=992,
                               model=KmerModel.synthetic(), cfg=SimConfig.rna()),
     }
     out = {}
